@@ -1,0 +1,210 @@
+"""BM25 top-k query over the compressed sharded index.
+
+Per (query, shard) an Arrow kernel runs **MaxScore with block-max
+pruning** over the decoded posting runs — exact top-k, vectorized:
+
+1. Fully score the docs of the highest-upper-bound list (binary-search
+   lookups into the other lists via ``np.searchsorted``); the kth best
+   score is the pruning threshold θ.
+2. Lists whose upper bounds sum (as a suffix) below θ are non-essential:
+   no doc appearing ONLY in them can reach top-k.
+3. Remaining essential lists generate extra candidates, but only from
+   blocks whose ``idf*block_max + Σ other-list upper bounds ≥ θ`` —
+   the block-max skip. Candidates get exact scores; merge; top-k.
+
+Exactness argument: a doc excluded everywhere has, for its best list t*,
+``mult_t* · block_max_t*(doc) + Σ_{u≠t*} U_u < θ``, which upper-bounds its
+full score, so it cannot beat the kth result. Ties are broken
+score-desc → doc_id-asc (the engine-wide deterministic tie-break,
+SURVEY.md §2.5-W1).
+
+Shards hold disjoint doc sets, so per-shard top-k union ⊇ global top-k and
+the final window merge is exact. Hot (stop-like) terms therefore never
+serialize through one task — the index keeps them sharded.
+
+This path must reproduce ``operators.scoring.bm25_topk`` (the pure
+DataFrame M1 scorer) rank-identically; that equivalence is the core
+integration test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+from pyspark.sql.window import Window
+
+from tfidf_spark.index.builder import IndexHandle
+from tfidf_spark.index.codec import BLOCK_SIZE, decode_postings
+
+_KERNEL_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("k", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+def _score_candidates(cand: np.ndarray, lists) -> np.ndarray:
+    """Exact scores for sorted candidate docIDs across all lists."""
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for mult, ids, w, _ in lists:
+        pos = np.searchsorted(ids, cand)
+        pos_c = np.minimum(pos, ids.size - 1)
+        hit = (pos < ids.size) & (ids[pos_c] == cand)
+        scores[hit] += mult * w[pos_c[hit]]
+    return scores
+
+
+def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+    query_id = int(pdf["query_id"].iloc[0])
+    k = int(pdf["k"].iloc[0])
+    lists = []
+    for row in pdf.itertuples(index=False):
+        ids, w = decode_postings(row.postings, row.weights)
+        if ids.size:
+            bm = np.asarray(row.block_max, dtype=np.float64)
+            lists.append((float(row.mult), ids, w, bm))
+    if not lists:
+        return pd.DataFrame(columns=["query_id", "k", "doc_id", "score"]).astype(
+            {"query_id": "int64", "k": "int32", "doc_id": "int64", "score": "float64"}
+        )
+    # negative-idf (df == N) terms still contribute; upper bound uses max(.,0)
+    lists.sort(key=lambda t: -(t[0] * float(t[3].max())))
+    U = np.array([max(mult * float(bm.max()), 0.0) for mult, _, _, bm in lists])
+
+    # pass 1: all docs of the top list, fully scored
+    cand0 = lists[0][1]
+    s0 = _score_candidates(cand0, lists)
+    if cand0.size > k:
+        theta = np.partition(s0, cand0.size - k)[cand0.size - k]
+    else:
+        theta = -np.inf
+
+    # non-essential suffix: maximal suffix with cumulative U < theta
+    tailsum = np.cumsum(U[::-1])[::-1]  # tailsum[i] = U[i:] sum
+    n_essential = len(lists)
+    for i in range(len(lists) - 1, 0, -1):
+        if tailsum[i] < theta:
+            n_essential = i
+        else:
+            break
+
+    extra_parts = []
+    for t in range(1, n_essential):
+        mult, ids, w, bm = lists[t]
+        rest = U.sum() - U[t]
+        keep_block = (mult * bm + rest) >= theta
+        if not keep_block.all():
+            keep = np.repeat(keep_block, BLOCK_SIZE)[: ids.size]
+            ids = ids[keep]
+        if ids.size:
+            extra_parts.append(ids)
+    if extra_parts:
+        extra = np.unique(np.concatenate(extra_parts))
+        pos = np.searchsorted(cand0, extra)
+        pos_c = np.minimum(pos, cand0.size - 1) if cand0.size else pos
+        fresh = (
+            extra[~((pos < cand0.size) & (cand0[pos_c] == extra))]
+            if cand0.size
+            else extra
+        )
+        if fresh.size:
+            s_extra = _score_candidates(fresh, lists)
+            all_ids = np.concatenate([cand0, fresh])
+            all_s = np.concatenate([s0, s_extra])
+        else:
+            all_ids, all_s = cand0, s0
+    else:
+        all_ids, all_s = cand0, s0
+
+    order = np.lexsort((all_ids, -all_s))[:k]
+    return pd.DataFrame(
+        {
+            "query_id": np.full(order.size, query_id, dtype=np.int64),
+            "k": np.full(order.size, k, dtype=np.int32),
+            "doc_id": all_ids[order],
+            "score": all_s[order],
+        }
+    )
+
+
+def bm25_query_index(
+    index: IndexHandle,
+    queries: DataFrame,
+    prune_by_collect: bool = True,
+) -> DataFrame:
+    """Batch BM25 over the index.
+
+    queries: ``(query_id long, terms array<string>, k int)``.
+    Returns ``(query_id, doc_id, score, rank)``, rank 1..k per query,
+    ordered by the deterministic tie-break.
+
+    ``prune_by_collect``: collect the distinct query terms driver-side and
+    push an IN-filter into the index scan — with the index sorted by term,
+    parquet min/max stats skip non-matching row groups (the analog of the
+    reference's B-tree probe on word, app/db/models.py:100). For huge query
+    batches set False to use a shuffle join instead.
+    """
+    spark = queries.sparkSession
+    qterms = (
+        queries.select("query_id", "k", F.explode("terms").alias("term"))
+        .groupBy("query_id", "k", "term")
+        .agg(F.count(F.lit(1)).alias("q_cnt"))
+    )
+
+    tp = index.term_postings
+    ts = index.term_stats
+    if prune_by_collect:
+        terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+        if not terms:
+            return spark.createDataFrame(
+                [], "query_id long, doc_id long, score double, rank int"
+            )
+        tp = tp.filter(F.col("term").isin(terms))
+        ts = ts.filter(F.col("term").isin(terms))
+
+    idf = F.log(F.lit(float(index.n_docs)) / F.coalesce(F.col("df"), F.lit(1)).cast("double"))
+    q_with_mult = (
+        qterms.join(ts, "term", "left")
+        .select(
+            "query_id",
+            "k",
+            "term",
+            (F.col("q_cnt").cast("double") * idf).alias("mult"),
+        )
+    )
+
+    rows = tp.join(F.broadcast(q_with_mult), "term", "inner").select(
+        "query_id", "k", "term", "mult", "shard", "postings", "weights", "block_max"
+    )
+    per_shard = rows.groupBy("query_id", "shard").applyInPandas(
+        _topk_shard, _KERNEL_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_shard.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_query_terms(
+    index: IndexHandle, terms: list[str], k: int = 10
+) -> DataFrame:
+    """Single ad-hoc query -> ``(doc_id, score)`` ordered, limit k."""
+    spark = index.spark
+    q = spark.createDataFrame(
+        [(0, terms, k)], "query_id long, terms array<string>, k int"
+    )
+    return bm25_query_index(index, q).select("doc_id", "score").orderBy("rank")
