@@ -1,0 +1,717 @@
+"""Driver-contract query battery: every operator family from SURVEY.md §2
+exposed as (spark, sf_dir) -> DataFrame, each with a DuckDB oracle SQL
+(see ``__spark_entry__.py``).
+
+Engine-portability rules used throughout (so the driver's
+order-insensitive value-hash compare is byte-stable):
+
+- every computed column is aliased identically in Spark and SQL;
+- float columns derived from exact integer arithmetic (tf, idf, tfidf)
+  are bit-identical across engines; float columns involving SUM over
+  doubles (BM25 scores, cosines) are rounded to 6 (4) decimals, far above
+  the ~1e-15 associativity noise;
+- top-k rankings order by the ROUNDED score + a total tie-break
+  (term/doc_id asc), so the selected row SET is engine-independent;
+- money sums go through decimal(18,2) (exact, order-independent) and are
+  cast back to double;
+- timestamps never appear raw in outputs (epoch micros or date strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from tfidf_spark.functions.tokenize import shingles_udf, tokenize_udf
+from tfidf_spark.operators.postings import (
+    build_postings,
+    corpus_stats,
+    doc_stats,
+    term_df,
+    with_tf,
+)
+from tfidf_spark.operators.scoring import (
+    bm25_weight_expr,
+    collection_statistics,
+    idf_expr,
+    score_tfidf,
+)
+
+FLAGSHIP_TERMS = ["spark", "join", "filter", "query"]
+
+STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "it"]
+
+LANG_MARKERS = {  # deterministic marker lists for the lang-ID heuristic
+    "en": ["the", "fast"],
+    "es": ["order", "big"],
+    "de": ["hash", "group"],
+    "fr": ["row", "filter"],
+    "zh": ["data", "column"],
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_postings(spark, sf_dir) -> DataFrame:
+    """(doc_id, term, cnt, dl) over the documents table's text column."""
+    return build_postings(_t(spark, sf_dir, "documents"), text_col="text")
+
+
+# --------------------------------------------------------------------------
+# Fulltext core (SURVEY.md §2.4 A1-A4, §2.7 F1-F5, §2.5 W1-W3)
+# --------------------------------------------------------------------------
+
+def q_postings(spark, sf_dir):
+    return _doc_postings(spark, sf_dir).select(
+        "doc_id", "term", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    return doc_stats(_t(spark, sf_dir, "documents"), text_col="text").select(
+        "doc_id", F.col("dl").cast("long").alias("dl"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+    )
+
+
+def q_term_df(spark, sf_dir):
+    return term_df(_doc_postings(spark, sf_dir))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    postings = with_tf(_doc_postings(spark, sf_dir))
+    stats = score_tfidf(postings, term_df(postings), n)
+    sel = stats.select(
+        "doc_id", "term",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round("tfidf", 6).alias("tfidf_r"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
+    return (
+        sel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+
+
+def q_collection_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_postings(docs, text_col="text").join(
+        F.broadcast(docs.select("doc_id", "lang")), "doc_id"
+    )
+    n_per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    out = collection_statistics(postings, "lang", n_per, k=50)
+    return out.select(
+        "lang", "term", F.col("frequency").cast("long").alias("frequency"),
+        "tf", F.col("df").cast("long").alias("df"), "idf", "tfidf",
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    postings = _doc_postings(spark, sf_dir)
+    cs = corpus_stats(doc_stats(docs, text_col="text")).collect()[0]
+    n, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
+    qt = spark.createDataFrame([(t,) for t in FLAGSHIP_TERMS], "term string")
+    q_idf = qt.join(term_df(postings), "term", "left").select(
+        "term", idf_expr(n).alias("idf")
+    )
+    scored = postings.join(F.broadcast(q_idf), "term", "inner")
+    score = F.sum(F.col("idf") * bm25_weight_expr("cnt", "dl", avgdl))
+    agg = scored.groupBy("doc_id").agg(F.round(score, 6).alias("score_r"))
+    return agg.orderBy(F.desc("score_r"), F.asc("doc_id")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Dedup suite (training-data ops; exact + MinHash-LSH + SimHash + n-gram)
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash — the scalable analog of the reference's
+    unique-hash upload check (reference app/controllers/document.py:147-156),
+    with sha2(content,256) per the input_hint invariant."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+    w = Window.partitionBy("content_sha256")
+    return h.withColumn("keeper_id", F.min("doc_id").over(w))
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct word-3-gram shingles per doc: (doc_id, s). Deduped inside
+    the Arrow kernel — no distinct shuffle needed."""
+    return docs.select(
+        "doc_id", F.explode(shingles_udf(3)(F.col("text"))).alias("s")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidates: top-100 pairs by 3-gram Jaccard. Pair generation
+    via the shingle inverted index (docs sharing >=1 shingle), not a cross
+    join — at scale, band this through MinHash-LSH first (q_minhash_*)."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+        .select(
+            "a", "b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jac_r"),
+        )
+    )
+    return jac.orderBy(F.desc("jac_r"), F.asc("a"), F.asc("b")).limit(100)
+
+
+def _minhash_sig(spark, sf_dir, n_seeds: int = 8) -> DataFrame:
+    """(doc_id, seed, minhash) — md5-based portable MinHash (see
+    functions/hashing.py for why md5 hex ordering is a valid hash order)."""
+    sh = _shingles(_t(spark, sf_dir, "documents"))
+    seeds = spark.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")))
+            ).alias("minhash")
+        )
+    )
+
+
+def q_minhash_signature(spark, sf_dir):
+    return _minhash_sig(spark, sf_dir)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs: docs colliding on >=1 of 8 single-row bands.
+    The bucket join is the scale path — no pairwise comparisons outside
+    shared buckets."""
+    sig = _minhash_sig(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.seed") == F.col("b.seed"))
+            & (F.col("a.minhash") == F.col("b.minhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit-ish (60-bit) SimHash per doc from term-count-weighted md5 term
+    hashes — portable across engines (md5 + hex->int)."""
+    p = _doc_postings(spark, sf_dir).select("doc_id", "term", "cnt")
+    p = p.withColumn(
+        "h", F.expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)")
+    )
+    bits = p.select(
+        "doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
+    )
+    contrib = F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.col("cnt")).otherwise(
+        -F.col("cnt")
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
+    bitval = F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return per_bit.groupBy("doc_id").agg(F.sum(bitval).cast("long").alias("simhash"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprints: sha256 (identity), min-shingle md5 (locality)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs).groupBy("doc_id").agg(F.min(F.md5("s")).alias("min_shingle_md5"))
+    return (
+        docs.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
+        .join(sh, "doc_id", "left")
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-20 vs the vec_id=0 query vector. JVM-side
+    zip_with/aggregate — no Python in the hot path. The scale path is
+    q_ann_lsh_buckets-style pre-bucketing; brute force is the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    pairs = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nx = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ny = F.aggregate(
+        F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.sqrt(nx) * F.sqrt(ny))
+    out = pairs.select("vec_id", F.round(cos, 6).alias("cos_r"))
+    return out.orderBy(F.desc("cos_r"), F.asc("vec_id")).limit(20)
+
+
+def q_embedding_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm_r"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data quality ops)
+# --------------------------------------------------------------------------
+
+def q_token_quality(spark, sf_dir):
+    p = _doc_postings(spark, sf_dir)
+    stop = F.col("term").isin(STOPWORDS)
+    return p.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.round(
+            F.sum(F.when(stop, F.col("cnt")).otherwise(0)).cast("double")
+            / F.sum("cnt"),
+            4,
+        ).alias("stop_ratio_r"),
+        F.round(
+            F.sum(F.length("term") * F.col("cnt")).cast("double") / F.sum("cnt"), 4
+        ).alias("avg_token_len_r"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-word lang-ID heuristic (argmax marker hits, tie lang asc,
+    'und' when no marker present). Marker lists are a deterministic stand-in
+    for real n-gram profiles — the operator shape (score -> argmax window)
+    is the point."""
+    docs = _t(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(
+        [(lang, t) for lang, ts in LANG_MARKERS.items() for t in ts],
+        "mlang string, term string",
+    )
+    p = _doc_postings(spark, sf_dir)
+    hits = (
+        p.join(F.broadcast(markers), "term")
+        .groupBy("doc_id", "mlang")
+        .agg(F.sum("cnt").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("mlang"))
+    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return docs.select("doc_id").join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("mlang", F.lit("und")).alias("pred_lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational operators over the TPC-H-ish tables (SURVEY.md §2.2-2.5)
+# --------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    """P1/P2: predicate + projection pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & (F.col("l_discount") > 0.09)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount"
+    )
+
+
+def q_pagination(spark, sf_dir):
+    """P4 with a defined order (documented deviation from the reference's
+    unordered OFFSET/LIMIT, SURVEY.md §2.5-W4)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def q_lineitem_agg(spark, sf_dir):
+    """A2/A7-style grouped aggregate; money via exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2000-01-01"))
+    # Money arithmetic is done entirely in decimal: double->decimal casts
+    # of the SOURCE columns are engine-identical (2-decimal data is never
+    # at a .xx5 cast boundary — not dyadic), and decimal multiply/sum is
+    # exact, so the aggregate is order- and engine-independent. Rounding a
+    # double PRODUCT instead would diverge (DuckDB rounds x*100, Spark
+    # rounds the exact binary value).
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = dec * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.sum(dec).cast("double").alias("sum_price"),
+        F.sum(disc).cast("double").alias("sum_disc_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc_r"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_revenue_topk(spark, sf_dir):
+    """J1 + A + W3-style: join, grouped revenue, deterministic top-10."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    agg = j.groupBy("o_orderkey").agg(F.sum(rev).cast("double").alias("revenue"))
+    return agg.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """P5-style anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_top3_orders_per_customer(spark, sf_dir):
+    """W1-analog ranking window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_nation_revenue(spark, sf_dir):
+    """J2/J4-analog: fact ⋈ broadcast dims, grouped."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_events_sliding_24h(spark, sf_dir):
+    """A8-analog: sliding 24h window count anchored at max(ts)."""
+    e = _t(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts")).collect()[0][0]
+    recent = e.filter(F.col("ts") > F.lit(mx) - F.expr("INTERVAL 24 HOURS"))
+    return recent.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value_r"),
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap rule per user (lag + cumulative flags)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    flagged = e.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registry + oracles
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "postings": q_postings,
+    "doc_stats": q_doc_stats,
+    "term_df": q_term_df,
+    "tfidf_topk": q_tfidf_topk,
+    "collection_stats": q_collection_stats,
+    "bm25_topk": q_bm25_topk,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_signature": q_minhash_signature,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash": q_simhash,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_stats": q_embedding_stats,
+    "token_quality": q_token_quality,
+    "lang_id": q_lang_id,
+    "scan_filter_project": q_scan_filter_project,
+    "pagination": q_pagination,
+    "lineitem_agg": q_lineitem_agg,
+    "revenue_topk": q_revenue_topk,
+    "customers_without_orders": q_customers_without_orders,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "nation_revenue": q_nation_revenue,
+    "events_sliding_24h": q_events_sliding_24h,
+    "events_sessions": q_events_sessions,
+}
+
+# Shared DuckDB CTE prelude for token-level oracles. The simple char-class
+# regex is equivalent to the reference's \b[a-z0-9]+\b on this corpus
+# (pure ASCII lowercase + spaces — verified); the engine-side pandas UDF
+# uses the reference regex verbatim.
+_TOKS = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+p AS (
+  SELECT doc_id, term, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+tdf AS (SELECT term, COUNT(*)::BIGINT AS df FROM p GROUP BY 1)
+"""
+
+_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM toks)
+)
+"""
+
+ORACLES = {
+    "postings": _TOKS + "SELECT doc_id, term, cnt FROM p",
+    "doc_stats": _TOKS + """
+        SELECT dl.doc_id, dl.dl,
+               COALESCE(u.n_unique, 0)::BIGINT AS n_unique
+        FROM dl LEFT JOIN (
+          SELECT doc_id, COUNT(*)::BIGINT AS n_unique FROM p GROUP BY 1
+        ) u USING (doc_id)""",
+    "term_df": _TOKS + "SELECT term, df FROM tdf",
+    "tfidf_topk": _TOKS + """
+        , st AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+        sel AS (
+          SELECT p.doc_id, p.term, p.cnt AS frequency,
+                 round((p.cnt::DOUBLE / dl.dl) * ln(st.n / tdf.df::DOUBLE), 6) AS tfidf_r
+          FROM p JOIN dl USING (doc_id) JOIN tdf USING (term), st)
+        SELECT doc_id, term, frequency, tfidf_r FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rn FROM sel)
+        WHERE rn <= 10""",
+    "collection_stats": _TOKS + """
+        , pl AS (SELECT p.*, d.lang FROM p JOIN documents d USING (doc_id)),
+        per AS (
+          SELECT lang, term, SUM(cnt)::BIGINT AS frequency, COUNT(*)::BIGINT AS df
+          FROM pl GROUP BY 1, 2),
+        tot AS (SELECT lang, SUM(frequency)::BIGINT AS scope_total FROM per GROUP BY 1),
+        np AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        enr AS (
+          SELECT per.lang, per.term, per.frequency,
+                 round(per.frequency::DOUBLE / tot.scope_total, 4) AS tf,
+                 per.df,
+                 round(ln(np.n_docs::DOUBLE / per.df::DOUBLE), 4) AS idf,
+                 round((per.frequency::DOUBLE / tot.scope_total)
+                       * ln(np.n_docs::DOUBLE / per.df::DOUBLE), 4) AS tfidf
+          FROM per JOIN tot USING (lang) JOIN np USING (lang))
+        SELECT lang, term, frequency, tf, df, idf, tfidf FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY tfidf DESC, term) AS rn FROM enr)
+        WHERE rn <= 50""",
+    "bm25_topk": _TOKS + """
+        , st AS (SELECT COUNT(*)::DOUBLE AS n, AVG(len(t))::DOUBLE AS avgdl FROM toks),
+        q(term) AS (VALUES ('spark'), ('join'), ('filter'), ('query')),
+        scores AS (
+          SELECT p.doc_id,
+                 SUM(ln(st.n / tdf.df::DOUBLE)
+                     * (p.cnt::DOUBLE * 2.2)
+                     / (p.cnt::DOUBLE
+                        + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl::DOUBLE / st.avgdl))) AS score
+          FROM q JOIN p USING (term) JOIN dl USING (doc_id) JOIN tdf USING (term), st
+          GROUP BY 1)
+        SELECT doc_id, round(score, 6) AS score_r
+        FROM scores ORDER BY round(score, 6) DESC, doc_id LIMIT 20""",
+    "dedup_exact": """
+        SELECT doc_id, sha256(text) AS content_sha256,
+               MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keeper_id
+        FROM documents""",
+    "ngram_jaccard_pairs": _SHINGLES + """
+        , sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jac AS (
+          SELECT i.a, i.b,
+                 round(i.inter::DOUBLE / (sa.n_sh + sb.n_sh - i.inter), 6) AS jac_r
+          FROM inter i
+          JOIN sizes sa ON sa.doc_id = i.a
+          JOIN sizes sb ON sb.doc_id = i.b)
+        SELECT a, b, jac_r FROM jac ORDER BY jac_r DESC, a, b LIMIT 100""",
+    "minhash_signature": _SHINGLES + """
+        SELECT doc_id, seed::INT AS seed, MIN(md5(seed::VARCHAR || ':' || s)) AS minhash
+        FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+        GROUP BY 1, 2""",
+    "minhash_lsh_pairs": _SHINGLES + """
+        , sig AS (
+          SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || s)) AS minhash
+          FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
+          GROUP BY 1, 2)
+        SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS n_bands
+        FROM sig a JOIN sig b
+          ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2""",
+    "simhash": _TOKS + """
+        , ph AS (
+          SELECT doc_id, cnt,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+          FROM p),
+        bits AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+          FROM ph, (SELECT unnest(generate_series(0, 59)) AS b)
+          GROUP BY 1, 2)
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+        FROM bits GROUP BY 1""",
+    "doc_fingerprint": _SHINGLES + """
+        SELECT d.doc_id, sha256(d.text) AS content_sha256, m.min_shingle_md5
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, MIN(md5(s)) AS min_shingle_md5 FROM sh GROUP BY 1
+        ) m USING (doc_id)""",
+    "ann_cosine_topk": """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        z AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 unnest((SELECT e FROM q))::DOUBLE AS y
+          FROM embeddings WHERE vec_id <> 0),
+        s AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+              FROM z GROUP BY 1)
+        SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_r
+        FROM s ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC, vec_id LIMIT 20""",
+    "embedding_stats": """
+        WITH z AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS x FROM embeddings),
+        n AS (SELECT vec_id, label, sqrt(SUM(x*x)) AS norm FROM z GROUP BY 1, 2)
+        SELECT label, COUNT(*)::BIGINT AS n, round(AVG(norm), 4) AS avg_norm_r
+        FROM n GROUP BY 1""",
+    "token_quality": _TOKS + f"""
+        SELECT doc_id,
+               SUM(cnt)::BIGINT AS n_tokens,
+               COUNT(*)::BIGINT AS n_unique,
+               round(SUM(CASE WHEN term IN ({','.join(repr(s) for s in STOPWORDS)})
+                              THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt), 4) AS stop_ratio_r,
+               round(SUM(length(term) * cnt)::DOUBLE / SUM(cnt), 4) AS avg_token_len_r
+        FROM p GROUP BY 1""",
+    "lang_id": _TOKS + f"""
+        , markers(mlang, term) AS (VALUES
+          {','.join(f"('{lang}', '{t}')" for lang, ts in LANG_MARKERS.items() for t in ts)}),
+        hits AS (
+          SELECT p.doc_id, m.mlang, SUM(p.cnt)::BIGINT AS hits
+          FROM p JOIN markers m USING (term) GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, mlang FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY doc_id ORDER BY hits DESC, mlang) AS rn FROM hits)
+          WHERE rn = 1)
+        SELECT d.doc_id, COALESCE(b.mlang, 'und') AS pred_lang
+        FROM documents d LEFT JOIN best b USING (doc_id)""",
+    "scan_filter_project": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.09""",
+    "pagination": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100""",
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity)::DOUBLE AS sum_qty,
+               SUM(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+               SUM(l_extendedprice::DECIMAL(18,2)
+                   * (1::DECIMAL(3,2) - l_discount::DECIMAL(3,2)))::DOUBLE
+                 AS sum_disc_price,
+               round(AVG(l_discount), 6) AS avg_disc_r,
+               COUNT(*)::BIGINT AS n_rows
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY 1, 2""",
+    "revenue_topk": """
+        SELECT o_orderkey,
+               SUM(l_extendedprice::DECIMAL(18,2)
+                   * (1::DECIMAL(3,2) - l_discount::DECIMAL(3,2)))::DOUBLE
+                 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "customers_without_orders": """
+        SELECT c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3""",
+    "nation_revenue": """
+        SELECT n_name,
+               SUM(o_totalprice::DECIMAL(18,2))::DOUBLE AS total,
+               COUNT(*)::BIGINT AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1""",
+    "events_sliding_24h": """
+        SELECT event_type, COUNT(*)::BIGINT AS n, round(AVG(value), 4) AS avg_value_r
+        FROM events
+        WHERE ts > (SELECT MAX(ts) FROM events) - INTERVAL 24 HOURS
+        GROUP BY 1""",
+    "events_sessions": """
+        WITH g AS (
+          SELECT user_id, event_id, epoch_us(ts) AS us,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+          FROM events)
+        SELECT user_id,
+               SUM(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+               COUNT(*)::BIGINT AS n_events
+        FROM g GROUP BY 1""",
+}

@@ -70,6 +70,29 @@ def tokenize_udf(code_aware: bool = False):
     return _tok
 
 
+def shingles_udf(n: int = 3, code_aware: bool = False):
+    """Arrow-vectorized ``content -> array<string>`` of DISTINCT word
+    n-gram shingles (space-joined). Deduping inside the kernel keeps the
+    downstream explode minimal — shingles feed MinHash/Jaccard dedup where
+    only set membership matters."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _shingle(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            toks = _tokenize_series(s, code_aware)
+            yield toks.map(
+                lambda ts: list(
+                    dict.fromkeys(
+                        " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+                    )
+                )
+                if len(ts) >= n
+                else []
+            )
+
+    return _shingle
+
+
 def tokenize_counts_udf(code_aware: bool = False):
     """Arrow-vectorized ``content -> map<term, count>``.
 
