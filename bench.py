@@ -1,0 +1,107 @@
+"""Benchmark harness (driver contract): runs the headline query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], plus the index-build + BM25 pipeline on the
+deterministic synthetic corpus (the driver testdata documents are too
+small to exercise the build path).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "build_files_per_sec": ..., "query_p50_ms": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tfidf_spark import entrypoints
+from tfidf_spark.index.builder import build_index, load_index
+from tfidf_spark.index.query import bm25_query_index
+from tfidf_spark.session import get_spark
+from tfidf_spark.sources.corpus import reference_queries, synth_corpus, with_doc_id
+
+HEADLINE = [
+    "bm25_topk", "tfidf_topk", "collection_stats", "minhash_lsh_pairs",
+    "simhash", "ann_cosine_topk", "lineitem_agg", "revenue_topk",
+    "events_sessions",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    n_corpus = int(os.environ.get("SPARK_GRAFT_CORPUS_DOCS", max(2000, int(sf * 200_000))))
+
+    spark = get_spark(
+        app_name="tfidf_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(4, cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    for name in HEADLINE:
+        fn = entrypoints.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # index pipeline on the synthetic corpus
+    workdir = tempfile.mkdtemp(prefix="tfidf_bench_")
+    try:
+        corpus = with_doc_id(synth_corpus(spark, n_corpus, partitions=cpus * 2))
+        t0 = time.perf_counter()
+        build_index(corpus, f"{workdir}/idx", n_shards=max(4, cpus // 2))
+        build_sec = time.perf_counter() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        idx = load_index(spark, f"{workdir}/idx")
+        qset = reference_queries(50)
+        qdf = spark.createDataFrame(qset, "query_id long, terms array<string>, k int")
+        t0 = time.perf_counter()
+        n_results = bm25_query_index(idx, qdf).count()
+        timings["index_query_batch50"] = round(time.perf_counter() - t0, 3)
+
+        lat = []
+        for qid, terms, k in qset[:8]:
+            q1 = spark.createDataFrame(
+                [(qid, terms, k)], "query_id long, terms array<string>, k int"
+            )
+            t0 = time.perf_counter()
+            bm25_query_index(idx, q1).collect()
+            lat.append(time.perf_counter() - t0)
+        query_p50_ms = round(1000 * statistics.median(lat), 1)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite + index build/query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "corpus_docs": n_corpus,
+                "build_files_per_sec": round(n_corpus / build_sec, 1),
+                "query_p50_ms": query_p50_ms,
+                "batch50_results": n_results,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -143,6 +143,7 @@ def bm25_query_index(
     index: IndexHandle,
     queries: DataFrame,
     prune_by_collect: bool = True,
+    known_terms: list[str] | None = None,
 ) -> DataFrame:
     """Batch BM25 over the index.
 
@@ -166,7 +167,11 @@ def bm25_query_index(
     tp = index.term_postings
     ts = index.term_stats
     if prune_by_collect:
-        terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+        terms = (
+            sorted(set(known_terms))
+            if known_terms is not None
+            else [r["term"] for r in qterms.select("term").distinct().collect()]
+        )
         if not terms:
             return spark.createDataFrame(
                 [], "query_id long, doc_id long, score double, rank int"
@@ -207,4 +212,8 @@ def bm25_query_terms(
     q = spark.createDataFrame(
         [(0, terms, k)], "query_id long, terms array<string>, k int"
     )
-    return bm25_query_index(index, q).select("doc_id", "score").orderBy("rank")
+    return (
+        bm25_query_index(index, q, known_terms=terms)
+        .select("doc_id", "score")
+        .orderBy("rank")
+    )
