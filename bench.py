@@ -55,8 +55,10 @@ def main():
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # index pipeline on the synthetic corpus
-    workdir = tempfile.mkdtemp(prefix="tfidf_bench_")
+    # index pipeline on the synthetic corpus (tmpfs: /tmp is a throttled
+    # virtual disk in this sandbox)
+    fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    workdir = tempfile.mkdtemp(prefix="tfidf_bench_", dir=fast)
     try:
         corpus = with_doc_id(synth_corpus(spark, n_corpus, partitions=cpus * 2))
         t0 = time.perf_counter()

@@ -1,0 +1,69 @@
+"""Dedup-operator tests on a corpus with PLANTED duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfidf_spark.operators.dedup import (
+    doc_shingles,
+    exact_duplicates,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+)
+from tfidf_spark.operators.postings import build_postings
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and dreams of fish"
+)
+DOCS = [
+    (1, BASE),
+    (2, BASE),                                   # exact dup of 1
+    (3, BASE.replace("fish", "mice")),           # near dup of 1
+    (4, "completely different text about spark and distributed joins"),
+    (5, "another unrelated document mentioning parquet files only"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, content string").cache()
+
+
+def test_exact_duplicates(docs):
+    rows = {r["doc_id"]: r["keeper_id"] for r in exact_duplicates(docs).collect()}
+    assert rows == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+def test_jaccard_finds_near_dup(docs):
+    sh = doc_shingles(docs)
+    pairs = {(r["a"], r["b"]): r["jac_r"] for r in jaccard_pairs(sh).collect()}
+    assert pairs[(1, 2)] == 1.0                   # identical shingle sets
+    assert pairs[(1, 3)] > 0.8                    # one word changed
+    assert (1, 4) not in pairs                    # nothing shared
+
+
+def test_minhash_lsh_surfaces_near_dups(docs):
+    sig = minhash_signatures(doc_shingles(docs))
+    cand = {(r["a"], r["b"]): r["n_bands"] for r in lsh_candidate_pairs(sig).collect()}
+    assert cand[(1, 2)] == 8                      # identical: all bands collide
+    assert (1, 3) in cand                         # near dup: >=1 band
+    assert (4, 5) not in cand
+
+
+def test_simhash_near_pairs(docs):
+    p = build_postings(docs).select("doc_id", "term", "cnt")
+    sim = simhash(p).cache()
+    vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]                     # identical docs, same hash
+    near = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(sim, max_hamming=10).collect()  # bands=11
+    }
+    assert near[(1, 2)] == 0
+    assert (1, 3) in near and near[(1, 3)] <= 10
+    assert (1, 4) not in near or near.get((1, 4), 99) > 10

@@ -1,0 +1,78 @@
+"""Similarity-search tests: LSH ANN vs the brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tfidf_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    knn_join_lsh,
+    lsh_bucket,
+)
+
+DIM = 16
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(3)
+    rows = [(i, rng.standard_normal(DIM).astype(np.float32).tolist()) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+
+
+def test_cosine_topk_matches_numpy(emb, qvec):
+    got = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10).collect()
+    rows = emb.filter(F.col("vec_id") != 0).collect()
+    q = np.array(qvec)
+    cos = {
+        r["vec_id"]: float(
+            np.asarray(r["embedding"], dtype=np.float64) @ q
+            / (np.linalg.norm(np.asarray(r["embedding"], dtype=np.float64)) * np.linalg.norm(q))
+        )
+        for r in rows
+    }
+    expect = sorted(cos.items(), key=lambda kv: (-round(kv[1], 6), kv[0]))[:10]
+    assert [r["vec_id"] for r in got] == [i for i, _ in expect]
+    for r, (_, c) in zip(got, expect):
+        assert r["cos_r"] == pytest.approx(round(c, 6), abs=1e-9)
+
+
+def test_lsh_bucket_deterministic(emb):
+    b1 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb, n_planes=6, dim=DIM).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in lsh_bucket(emb.repartition(7), n_planes=6, dim=DIM).collect()}
+    assert b1 == b2
+    assert all(0 <= v < 64 for v in b1.values())
+
+
+def test_ann_results_are_true_neighbors(emb, qvec):
+    """ANN output must be a subset of candidates whose scores match the
+    exact cosine; top-1 should usually survive multi-probe."""
+    bucketed = lsh_bucket(emb.filter(F.col("vec_id") != 0), n_planes=6, dim=DIM).cache()
+    ann = ann_topk_lsh(bucketed, qvec, k=5, n_planes=6, dim=DIM).collect()
+    exact = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=N).collect()
+    exact_map = {r["vec_id"]: r["cos_r"] for r in exact}
+    for r in ann:
+        assert r["cos_r"] == pytest.approx(exact_map[r["vec_id"]], abs=1e-9)
+    # recall sanity (not exactness — it's approximate by design)
+    top5 = {r["vec_id"] for r in exact[:5]}
+    got5 = {r["vec_id"] for r in ann}
+    assert len(top5 & got5) >= 1
+
+
+def test_knn_join_lsh_shape(emb):
+    bucketed = lsh_bucket(emb, n_planes=4, dim=DIM)
+    knn = knn_join_lsh(bucketed, k=1).collect()
+    by_a = {}
+    for r in knn:
+        by_a.setdefault(r["a"], []).append(r)
+    assert all(len(v) == 1 for v in by_a.values())
+    assert all(r["a"] != r["b"] for r in knn)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tfidf_spark.functions.tokenize import shingles_udf, tokenize_udf
+from tfidf_spark.operators import dedup, similarity, textstats
 from tfidf_spark.operators.postings import (
     build_postings,
     corpus_stats,
@@ -135,115 +135,44 @@ def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash — the scalable analog of the reference's
     unique-hash upload check (reference app/controllers/document.py:147-156),
     with sha2(content,256) per the input_hint invariant."""
-    docs = _t(spark, sf_dir, "documents")
-    h = docs.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
-    w = Window.partitionBy("content_sha256")
-    return h.withColumn("keeper_id", F.min("doc_id").over(w))
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"), text_col="text")
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Distinct word-3-gram shingles per doc: (doc_id, s). Deduped inside
-    the Arrow kernel — no distinct shuffle needed."""
-    return docs.select(
-        "doc_id", F.explode(shingles_udf(3)(F.col("text"))).alias("s")
-    )
+    return dedup.doc_shingles(docs, n=3, text_col="text")
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup candidates: top-100 pairs by 3-gram Jaccard. Pair generation
     via the shingle inverted index (docs sharing >=1 shingle), not a cross
     join — at scale, band this through MinHash-LSH first (q_minhash_*)."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    jac = (
-        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
-        .select(
-            "a", "b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ).alias("jac_r"),
-        )
-    )
-    return jac.orderBy(F.desc("jac_r"), F.asc("a"), F.asc("b")).limit(100)
-
-
-def _minhash_sig(spark, sf_dir, n_seeds: int = 8) -> DataFrame:
-    """(doc_id, seed, minhash) — md5-based portable MinHash (see
-    functions/hashing.py for why md5 hex ordering is a valid hash order)."""
-    sh = _shingles(_t(spark, sf_dir, "documents"))
-    seeds = spark.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
-    return (
-        sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")))
-            ).alias("minhash")
-        )
-    )
+    return dedup.jaccard_pairs(_shingles(_t(spark, sf_dir, "documents")), top=100)
 
 
 def q_minhash_signature(spark, sf_dir):
-    return _minhash_sig(spark, sf_dir)
+    """(doc_id, seed, minhash) — md5-based portable MinHash (see
+    functions/hashing.py for why md5 hex ordering is a valid hash order)."""
+    return dedup.minhash_signatures(_shingles(_t(spark, sf_dir, "documents")))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: docs colliding on >=1 of 8 single-row bands.
     The bucket join is the scale path — no pairwise comparisons outside
     shared buckets."""
-    sig = _minhash_sig(spark, sf_dir)
-    a = sig.alias("a")
-    b = sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.seed") == F.col("b.seed"))
-            & (F.col("a.minhash") == F.col("b.minhash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
-    )
+    sig = dedup.minhash_signatures(_shingles(_t(spark, sf_dir, "documents")))
+    return dedup.lsh_candidate_pairs(sig, band_size=1)
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit-ish (60-bit) SimHash per doc from term-count-weighted md5 term
-    hashes — portable across engines (md5 + hex->int)."""
-    p = _doc_postings(spark, sf_dir).select("doc_id", "term", "cnt")
-    p = p.withColumn(
-        "h", F.expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)")
-    )
-    bits = p.select(
-        "doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
-    )
-    contrib = F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.col("cnt")).otherwise(
-        -F.col("cnt")
-    )
-    per_bit = bits.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
-    bitval = F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(
-        F.lit(0).cast("long")
-    )
-    return per_bit.groupBy("doc_id").agg(F.sum(bitval).cast("long").alias("simhash"))
+    """60-bit SimHash per doc from term-count-weighted md5 term hashes —
+    portable across engines (md5 + hex->int)."""
+    return dedup.simhash(_doc_postings(spark, sf_dir).select("doc_id", "term", "cnt"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
     """Content fingerprints: sha256 (identity), min-shingle md5 (locality)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingles(docs).groupBy("doc_id").agg(F.min(F.md5("s")).alias("min_shingle_md5"))
-    return (
-        docs.select("doc_id", F.sha2("text", 256).alias("content_sha256"))
-        .join(sh, "doc_id", "left")
-    )
+    return textstats.fingerprints(docs, _shingles(docs), text_col="text")
 
 
 # --------------------------------------------------------------------------
@@ -253,41 +182,18 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-20 vs the vec_id=0 query vector. JVM-side
     zip_with/aggregate — no Python in the hot path. The scale path is
-    q_ann_lsh_buckets-style pre-bucketing; brute force is the oracle."""
+    operators/similarity.py's LSH bucketing; brute force is the oracle."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    pairs = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qrow))
-    dot = F.aggregate(
-        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.cosine_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=20
     )
-    nx = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    ny = F.aggregate(
-        F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cos = dot / (F.sqrt(nx) * F.sqrt(ny))
-    out = pairs.select("vec_id", F.round(cos, 6).alias("cos_r"))
-    return out.orderBy(F.desc("cos_r"), F.asc("vec_id")).limit(20)
 
 
 def q_embedding_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
     return (
-        emb.select("label", norm.alias("norm"))
+        emb.select("label", similarity._norm("embedding").alias("norm"))
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm_r"))
     )
@@ -298,20 +204,7 @@ def q_embedding_stats(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_token_quality(spark, sf_dir):
-    p = _doc_postings(spark, sf_dir)
-    stop = F.col("term").isin(STOPWORDS)
-    return p.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_unique"),
-        F.round(
-            F.sum(F.when(stop, F.col("cnt")).otherwise(0)).cast("double")
-            / F.sum("cnt"),
-            4,
-        ).alias("stop_ratio_r"),
-        F.round(
-            F.sum(F.length("term") * F.col("cnt")).cast("double") / F.sum("cnt"), 4
-        ).alias("avg_token_len_r"),
-    )
+    return textstats.token_quality(_doc_postings(spark, sf_dir), STOPWORDS)
 
 
 def q_lang_id(spark, sf_dir):
@@ -320,21 +213,7 @@ def q_lang_id(spark, sf_dir):
     for real n-gram profiles — the operator shape (score -> argmax window)
     is the point."""
     docs = _t(spark, sf_dir, "documents")
-    markers = spark.createDataFrame(
-        [(lang, t) for lang, ts in LANG_MARKERS.items() for t in ts],
-        "mlang string, term string",
-    )
-    p = _doc_postings(spark, sf_dir)
-    hits = (
-        p.join(F.broadcast(markers), "term")
-        .groupBy("doc_id", "mlang")
-        .agg(F.sum("cnt").alias("hits"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("mlang"))
-    best = hits.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return docs.select("doc_id").join(best, "doc_id", "left").select(
-        "doc_id", F.coalesce("mlang", F.lit("und")).alias("pred_lang")
-    )
+    return textstats.lang_id(docs, _doc_postings(spark, sf_dir), LANG_MARKERS)
 
 
 # --------------------------------------------------------------------------
@@ -441,6 +320,71 @@ def q_events_sliding_24h(spark, sf_dir):
     )
 
 
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 20) via the banded bucket join —
+    never a cross join (pigeonhole over 21 chunks covering the 60 bits)."""
+    sim = dedup.simhash(_doc_postings(spark, sf_dir).select("doc_id", "term", "cnt"))
+    return dedup.simhash_near_pairs(sim, max_hamming=20)
+
+
+def q_knn_top1(spark, sf_dir):
+    """Exact 1-NN by cosine for vec_id < 30 (brute force — the oracle for
+    the LSH kNN join in operators/similarity.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a") != F.col("b"))
+    cos = similarity._dot("va", "vb") / (
+        similarity._norm("va") * similarity._norm("vb")
+    )
+    scored = pairs.select("a", "b", F.round(cos, 6).alias("cos_r"))
+    w = Window.partitionBy("a").orderBy(F.desc("cos_r"), F.asc("b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("a", "b", "cos_r")
+    )
+
+
+def q_lineitem_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-set coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+    )
+
+
+def q_orders_running_total(spark, sf_dir):
+    """Cumulative-sum window frame per customer (orders sorted by date),
+    restricted to custkey < 100 to keep the oracle comparison small."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey", run.cast("double").alias("run_total")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling 1h event-time window counts (batch form of the streaming
+    windowed aggregation in streaming/ingest.py)."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format(
+        F.date_trunc("hour", F.col("ts").cast("timestamp")), "yyyy-MM-dd HH:00:00"
+    )
+    return e.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value_r"),
+    )
+
+
 def q_events_sessions(spark, sf_dir):
     """Sessionization: 30-min-gap rule per user (lag + cumulative flags)."""
     e = _t(spark, sf_dir, "events").select(
@@ -476,7 +420,9 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash": q_simhash,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "doc_fingerprint": q_doc_fingerprint,
+    "knn_top1": q_knn_top1,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_stats": q_embedding_stats,
     "token_quality": q_token_quality,
@@ -488,6 +434,9 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "nation_revenue": q_nation_revenue,
+    "lineitem_rollup": q_lineitem_rollup,
+    "orders_running_total": q_orders_running_total,
+    "events_hourly": q_events_hourly,
     "events_sliding_24h": q_events_sliding_24h,
     "events_sessions": q_events_sessions,
 }
@@ -612,6 +561,55 @@ ORACLES = {
         SELECT doc_id,
                SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY 1""",
+    "simhash_near_pairs": _TOKS + """
+        , ph AS (
+          SELECT doc_id, cnt,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT AS h
+          FROM p),
+        bits AS (
+          SELECT doc_id, b,
+                 SUM(CASE WHEN ((h >> b) & 1) = 1 THEN cnt ELSE -cnt END) AS s
+          FROM ph, (SELECT unnest(generate_series(0, 59)) AS b)
+          GROUP BY 1, 2),
+        sim AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+          FROM bits GROUP BY 1),
+        chunks AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> CAST(floor(band * 60 / 21) AS INT))
+                 & ((1::BIGINT << (CAST(floor((band + 1) * 60 / 21) AS INT)
+                                   - CAST(floor(band * 60 / 21) AS INT))) - 1) AS chunk
+          FROM sim, (SELECT unnest(generate_series(0, 20)) AS band)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM chunks a JOIN chunks b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+        SELECT a, b, bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 20""",
+    "knn_top1": """
+        WITH za AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings WHERE vec_id < 30),
+        zb AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 unnest(generate_series(1, len(embedding))) AS i
+          FROM embeddings),
+        na AS (SELECT vec_id, sqrt(SUM(x*x)) AS n FROM za GROUP BY 1),
+        nb AS (SELECT vec_id, sqrt(SUM(x*x)) AS n FROM zb GROUP BY 1),
+        dots AS (
+          SELECT za.vec_id AS a, zb.vec_id AS b, SUM(za.x * zb.x) AS dot
+          FROM za JOIN zb ON za.i = zb.i AND za.vec_id <> zb.vec_id
+          GROUP BY 1, 2),
+        scored AS (
+          SELECT d.a, d.b, round(d.dot / (na.n * nb.n), 6) AS cos_r
+          FROM dots d JOIN na ON na.vec_id = d.a JOIN nb ON nb.vec_id = d.b)
+        SELECT a, b, cos_r FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY a ORDER BY cos_r DESC, b) AS rn FROM scored)
+        WHERE rn = 1""",
     "doc_fingerprint": _SHINGLES + """
         SELECT d.doc_id, sha256(d.text) AS content_sha256, m.min_shingle_md5
         FROM documents d LEFT JOIN (
@@ -698,6 +696,23 @@ ORACLES = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY 1""",
+    "lineitem_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*)::BIGINT AS n_rows,
+               SUM(l_quantity)::DOUBLE AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "orders_running_total": """
+        SELECT o_custkey, o_orderkey,
+               SUM(o_totalprice::DECIMAL(18,2)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::DOUBLE AS run_total
+        FROM orders WHERE o_custkey < 100""",
+    "events_hourly": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+               event_type, COUNT(*)::BIGINT AS n,
+               round(SUM(value), 4) AS sum_value_r
+        FROM events GROUP BY 1, 2""",
     "events_sliding_24h": """
         SELECT event_type, COUNT(*)::BIGINT AS n, round(AVG(value), 4) AS avg_value_r
         FROM events

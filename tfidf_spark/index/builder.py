@@ -19,13 +19,14 @@ Scale design (the part that must survive 10^12 files):
   sets) and merge top-k, so no single-reducer merge exists at build OR
   query time. Size n_shards so max_df/n_shards * 16B fits comfortably in
   an executor task.
-- **Group assembly stays JVM-side**: ``sort_array(collect_list(...))``
-  builds each (term, shard) run inside Tungsten (sign-flip docID order ==
-  signed order, so sort_array's struct ordering matches the codec);
-  Python sees whole runs as Arrow list columns via ONE mapInPandas pass —
-  no per-group Arrow exchange (a per-group applyInPandas measured ~2ms
-  of overhead per group; with vocab*shards groups that dominated the
-  build).
+- **Group assembly is a Tungsten sort, not an aggregation.** Rows are
+  hash-repartitioned by (term, shard) and sorted by (term, shard, doc_id)
+  inside Tungsten (sign-flip docID order == signed order, so the sorted
+  stream is already in codec order); ONE mapInPandas pass slices group
+  boundaries and encodes. Two rejected designs, both measured: per-group
+  applyInPandas (~2ms Arrow overhead per group; vocab x shards groups
+  dominated the build) and sort_array(collect_list(...)) (the JVM object
+  aggregation alone cost ~7x the entire Python encode).
 - BM25's idf-independent weight (cnt, dl, avgdl folded in) is computed
   JVM-side and stored per posting; its per-block max is the block-max
   skip metadata. Query-time score = idf * stored weight.
@@ -42,7 +43,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from collections.abc import Iterator
 
 import numpy as np
@@ -78,25 +78,60 @@ INDEX_SCHEMA = StructType(
 )
 
 
-def _encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: each input row is one pre-assembled, pre-sorted
-    (term, shard) run with list columns ids/ws."""
+def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFrame:
+    """Encode the complete (term, shard) runs of a sorted slice.
+
+    ``starts`` are group start offsets; rows [starts[-1], end) form the
+    LAST complete group (the caller withholds any run that may continue
+    into the next Arrow batch)."""
+    terms = pdf["term"].to_numpy()
+    shards = pdf["shard"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    ws = pdf["w"].to_numpy(dtype=np.float64)
+    bounds = np.append(starts, end)
+    out = {k.name: [] for k in INDEX_SCHEMA.fields}
+    for i in range(len(starts)):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        pb, wb, block_last, block_max, n = encode_postings(
+            ids[lo:hi], ws[lo:hi], presorted=True
+        )
+        out["term"].append(terms[lo])
+        out["shard"].append(int(shards[lo]))
+        out["df_shard"].append(n)
+        out["postings"].append(pb)
+        out["weights"].append(wb)
+        out["block_last"].append(block_last)
+        out["block_max"].append(block_max)
+    return pd.DataFrame(out)
+
+
+def _encode_sorted_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel over a partition hash-partitioned by
+    (term, shard) and Tungsten-sorted by (term, shard, doc_id): slice group
+    boundaries per Arrow batch, carrying any run that may continue into the
+    next batch. Replaces a collect_list aggregation that was measured ~7x
+    more expensive than the whole Python encode."""
+    pend: pd.DataFrame | None = None
     for pdf in batches:
-        out = {k.name: [] for k in INDEX_SCHEMA.fields}
-        for term, shard, ids, ws in zip(
-            pdf["term"], pdf["shard"], pdf["ids"], pdf["ws"]
-        ):
-            pb, wb, block_last, block_max, n = encode_postings(
-                np.asarray(ids, dtype=np.int64), np.asarray(ws, dtype=np.float64)
-            )
-            out["term"].append(term)
-            out["shard"].append(int(shard))
-            out["df_shard"].append(n)
-            out["postings"].append(pb)
-            out["weights"].append(wb)
-            out["block_last"].append(block_last)
-            out["block_max"].append(block_max)
-        yield pd.DataFrame(out)
+        if pend is not None:
+            pdf = pd.concat([pend, pdf], ignore_index=True)
+            pend = None
+        if not len(pdf):
+            continue
+        terms = pdf["term"].to_numpy()
+        shards = pdf["shard"].to_numpy()
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1])
+        starts = np.flatnonzero(change)
+        if len(starts) == 1:
+            pend = pdf  # single (possibly continuing) run: hold it all
+            continue
+        tail_start = int(starts[-1])
+        pend = pdf.iloc[tail_start:].reset_index(drop=True)
+        yield _encode_groups(pdf, starts[:-1], tail_start)
+    if pend is not None and len(pend):
+        yield _encode_groups(pend, np.array([0]), len(pend))
 
 
 def stage_postings(
@@ -114,6 +149,7 @@ def stage_postings(
         F.col(id_col).alias("doc_id"),
         F.explode_outer("term_counts").alias("term", "cnt"),
         F.col("dl"),
+        F.spark_partition_id().alias("part_id"),  # per-partition lineage key
     )
     exploded.write.mode("overwrite").parquet(f"{out_dir}/postings")
 
@@ -127,75 +163,101 @@ def build_index(
     code_aware: bool = False,
     k1: float = BM25_K1,
     b: float = BM25_B,
-    index_partitions: int | None = None,
+    source_snapshot: str | None = None,
+    resume: bool = False,
 ) -> dict:
     """Build the full index at ``out_dir``. Returns the manifest dict.
 
     Layout: postings/, doc_stats/, term_postings/, term_stats/ (parquet)
-    + manifest.json (N, avgdl, params, per-stage metrics + wall times —
-    the lineage analog of the reference's Valkey metrics,
+    + manifest.json + _lineage/ (per-stage commits and per-partition
+    metrics — the durable analog of the reference's Valkey counters,
     reference app/services/metrics.py:10-63).
+
+    ``resume=True`` skips stages already committed for the same
+    ``source_snapshot`` fingerprint (pass the Iceberg snapshot id / input
+    version; it defaults to the build parameters only, so explicit
+    versioning is strongly recommended for real resume use).
     """
+    from tfidf_spark.index.checkpoint import StageCheckpointer
+
     spark = docs.sparkSession
-    walls: dict[str, float] = {}
-
-    t0 = time.perf_counter()
-    stage_postings(docs, out_dir, text_col, id_col, code_aware)
-    walls["stage_postings_sec"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    raw = spark.read.parquet(f"{out_dir}/postings")
-    doc_stats = raw.groupBy("doc_id").agg(
-        F.max("dl").alias("dl"),
-        F.count("term").alias("n_unique"),  # count() skips nulls
+    fingerprint = json.dumps(
+        {
+            "snapshot": source_snapshot,
+            "n_shards": n_shards,
+            "code_aware": code_aware,
+            "k1": k1,
+            "b": b,
+        },
+        sort_keys=True,
     )
-    doc_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+    ckpt = StageCheckpointer(out_dir, fingerprint, resume=resume)
+
+    ckpt.run(
+        "postings",
+        lambda: stage_postings(docs, out_dir, text_col, id_col, code_aware),
+    )
+    raw = spark.read.parquet(f"{out_dir}/postings")
+
+    def _doc_stats():
+        raw.groupBy("doc_id").agg(
+            F.max("dl").alias("dl"),
+            F.count("term").alias("n_unique"),  # count() skips nulls
+        ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+        # per-partition lineage rows from the materialized postings
+        raw.groupBy(F.col("part_id")).agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("term").alias("n_postings"),
+        ).withColumn("stage", F.lit("postings")).write.mode("overwrite").parquet(
+            f"{out_dir}/_lineage/partitions"
+        )
+
+    ckpt.run("doc_stats", _doc_stats)
     cs = (
         spark.read.parquet(f"{out_dir}/doc_stats")
         .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
         .collect()[0]
     )
     n_docs, avgdl = int(cs["n"]), float(cs["avgdl"] or 0.0)
-    walls["stage_doc_stats_sec"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    postings = raw.filter(F.col("term").isNotNull()).withColumn(
-        "w", bm25_weight_expr("cnt", "dl", avgdl if avgdl > 0 else 1.0, k1, b)
-    )
-    sharded = postings.withColumn(
-        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
-    )
-    runs = (
-        sharded.groupBy("term", "shard")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "w"))).alias("plist"))
-        .select(
-            "term",
-            "shard",
-            F.col("plist.doc_id").alias("ids"),
-            F.col("plist.w").alias("ws"),
+    def _encode():
+        postings = raw.filter(F.col("term").isNotNull()).withColumn(
+            "w", bm25_weight_expr("cnt", "dl", avgdl if avgdl > 0 else 1.0, k1, b)
         )
-    )
-    index_df = runs.mapInPandas(_encode_batches, INDEX_SCHEMA)
-    nparts = index_partitions or max(1, spark.sparkContext.defaultParallelism)
-    (
-        index_df.repartitionByRange(nparts, "term", "shard")
-        .sortWithinPartitions("term", "shard")
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/term_postings")
-    )
-    walls["stage_encode_sec"] = round(time.perf_counter() - t0, 3)
+        sharded = postings.withColumn(
+            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+        )
+        # Hash-shuffle rows by (term, shard), Tungsten-sort each partition
+        # by (term, shard, doc_id), and stream the sorted rows through the
+        # Arrow encode kernel. The sort also leaves the written index
+        # ordered by term within each file -> tight parquet min/max stats
+        # for term pruning, with NO extra shuffle. (A repartitionByRange
+        # would re-run the pipeline just to sample boundaries; a
+        # collect_list aggregation was measured ~7x the cost of the entire
+        # Python encode.)
+        sorted_runs = (
+            sharded.select("term", "shard", "doc_id", "w")
+            .repartition("term", "shard")
+            .sortWithinPartitions("term", "shard", "doc_id")
+        )
+        sorted_runs.mapInPandas(_encode_sorted_stream, INDEX_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/term_postings")
 
-    t0 = time.perf_counter()
+    ckpt.run("encode", _encode)
     tp = spark.read.parquet(f"{out_dir}/term_postings")
-    tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/term_stats")
+
+    def _term_stats():
+        tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/term_stats")
+
+    ckpt.run("term_stats", _term_stats)
+
     stats = tp.agg(
         F.sum("df_shard").alias("n_postings"),
         F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
     ).collect()[0]
-    walls["stage_term_stats_sec"] = round(time.perf_counter() - t0, 3)
-
     manifest = {
         "n_docs": n_docs,
         "avgdl": avgdl,
@@ -207,7 +269,7 @@ def build_index(
             "docs_tokenized": n_docs,
             "postings_emitted": int(stats["n_postings"] or 0),
             "bytes_compressed": int(stats["bytes"] or 0),
-            **walls,
+            **ckpt.walls,
         },
     }
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:

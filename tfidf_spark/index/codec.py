@@ -71,7 +71,7 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return np.add.reduceat(contrib, starts)
 
 
-def encode_postings(doc_ids: np.ndarray, weights: np.ndarray):
+def encode_postings(doc_ids: np.ndarray, weights: np.ndarray, presorted: bool = False):
     """Encode one term's (sub-)posting list.
 
     doc_ids: signed int64 (any order); weights: float64 aligned with ids.
@@ -84,8 +84,12 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray):
     """
     ids = np.asarray(doc_ids, dtype=np.int64)
     w = np.asarray(weights, dtype=np.float64)
-    order = np.argsort(to_unsigned(ids), kind="stable")
-    ids, w = ids[order], w[order]
+    if not presorted:
+        # sign-flip order == signed order, so sorting unsigned keys equals
+        # a plain signed sort; presorted=True lets Tungsten-sorted input
+        # (ORDER BY doc_id) skip this.
+        order = np.argsort(to_unsigned(ids), kind="stable")
+        ids, w = ids[order], w[order]
     u = to_unsigned(ids)
     gaps = np.empty_like(u)
     if u.size:

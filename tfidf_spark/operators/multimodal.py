@@ -1,0 +1,155 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` + typed
+metadata, with decode / feature-extract / resize / frame-sample as
+Arrow-batched kernels over mapInPandas.
+
+The Spark-side plumbing (schemas, partition sizing, UDF signatures,
+batch shapes) is real and tested; the codec step itself is STUBBED —
+image/audio libraries are not in this container. ``DeterministicFakeCodec``
+produces seeded, shape-correct outputs so the pipeline is exercisable
+end-to-end; ``LibraryCodec`` raises NotImplementedError at the exact
+point a real decoder (Pillow / torchaudio / pyav) would plug in.
+
+Scale notes baked into the design:
+- binary payloads dominate row size -> ``media_repartition`` targets
+  bytes-per-partition, not rows (a 100-row partition of 4K videos is
+  already gigabytes).
+- decode kernels are mapInPandas iterators: one Python worker handles a
+  stream of Arrow batches, never materializing a partition.
+- features come back as fixed-width ``array<float>`` so downstream ANN
+  (operators/similarity.py) consumes them without reshaping.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, mime string, n_bytes bigint, "
+    "width int, height int, duration_ms int, payload binary"
+)
+
+
+class LibraryCodec:
+    """Plug-in point for real decoders. Not available in this container."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "image decode requires Pillow/opencv — not installed here; "
+            "swap in DeterministicFakeCodec for pipeline tests"
+        )
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError("audio decode requires soundfile/torchaudio")
+
+    def sample_frames(self, payload: bytes, every_ms: int) -> list[np.ndarray]:
+        raise NotImplementedError("video frame sampling requires pyav/ffmpeg")
+
+
+class DeterministicFakeCodec(LibraryCodec):
+    """Seeded, shape-correct stand-in: output depends only on the payload
+    bytes, so tests are reproducible under any partitioning."""
+
+    def _rng(self, payload: bytes):
+        return np.random.default_rng(np.frombuffer(payload[:16].ljust(16, b"\0"), dtype=np.uint64))
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        return self._rng(payload).integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        return self._rng(payload).standard_normal(1600).astype(np.float32)
+
+    def sample_frames(self, payload: bytes, every_ms: int) -> list[np.ndarray]:
+        rng = self._rng(payload)
+        return [
+            rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8) for _ in range(4)
+        ]
+
+
+def media_repartition(df: DataFrame, target_bytes: int = 256 << 20) -> DataFrame:
+    """Repartition a media table by PAYLOAD BYTES, not row count."""
+    total = df.agg(F.sum("n_bytes")).collect()[0][0] or 0
+    nparts = max(1, int(total // target_bytes) + 1)
+    return df.repartition(nparts)
+
+
+def extract_features(
+    media: DataFrame,
+    codec: LibraryCodec | None = None,
+    feature_dim: int = 64,
+) -> DataFrame:
+    """``(media_id, kind, feature array<float>)`` via a mapInPandas kernel.
+
+    The fake feature is a seeded projection of the decoded array — a
+    deterministic stand-in for an embedding model's output with the same
+    schema/batch shape.
+    """
+    codec = codec or DeterministicFakeCodec()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proj = {}  # per-shape cached projection matrices (seeded)
+
+        def project(arr: np.ndarray) -> np.ndarray:
+            flat = arr.astype(np.float64).ravel()
+            key = flat.size
+            if key not in proj:
+                proj[key] = np.random.default_rng(key).standard_normal(
+                    (key, feature_dim)
+                ) / np.sqrt(key)
+            return (flat @ proj[key]).astype(np.float32)
+
+        for pdf in batches:
+            feats = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                payload = bytes(payload)
+                if kind == "image":
+                    arr = codec.decode_image(payload)
+                elif kind == "audio":
+                    arr = codec.decode_audio(payload)
+                else:  # video: mean-pool sampled frames
+                    frames = codec.sample_frames(payload, every_ms=1000)
+                    arr = np.mean([f.astype(np.float64) for f in frames], axis=0)
+                feats.append(project(arr).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(kernel, "media_id bigint, kind string, feature array<float>")
+
+
+def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table matching MEDIA_SCHEMA."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, i])
+                kind = kinds[i % 3]
+                payload = rng.bytes(256 + (i % 7) * 64)
+                rows.append(
+                    {
+                        "media_id": i,
+                        "kind": kind,
+                        "mime": {"image": "image/png", "audio": "audio/wav",
+                                 "video": "video/mp4"}[kind],
+                        "n_bytes": len(payload),
+                        "width": 8 if kind != "audio" else 0,
+                        "height": 8 if kind != "audio" else 0,
+                        "duration_ms": 0 if kind == "image" else 4000,
+                        "payload": payload,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_rows).mapInPandas(gen, MEDIA_SCHEMA)

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``: brute-force exact top-k against one query vector —
+  JVM-side zip_with/aggregate arithmetic, broadcast query, ends in
+  TakeOrderedAndProject. O(N) per query; the correctness oracle.
+- ``lsh_bucket``: random-hyperplane LSH signatures from DETERMINISTIC
+  seeded planes (reproducible across runs/partitionings).
+- ``ann_topk_lsh``: the scale path — probe only the query's bucket(s),
+  then exact-score within candidates. Work per query drops from O(N) to
+  O(N / 2^n_planes) expected.
+- ``knn_join_lsh``: all-pairs kNN candidates via bucket join, for
+  embedding-cosine near-dup detection.
+
+All cosines are computed in float64 after casting the float32 inputs, in
+array order — deterministic and engine-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k (id, cos_r) vs a literal query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cos = _dot(vec_col, q) / (_norm(vec_col) * _norm(q))
+    return (
+        emb.select(F.col(id_col), F.round(cos, 6).alias("cos_r"))
+        .orderBy(F.desc("cos_r"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``bucket`` column: sign pattern of dot products with seeded
+    random hyperplanes. Deterministic: planes derive only from (seed,
+    n_planes, dim)."""
+    rng = np.random.default_rng([seed, n_planes, dim])
+    planes = rng.standard_normal((n_planes, dim))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, p) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket + bit
+    return emb.withColumn("bucket", bucket)
+
+
+def ann_topk_lsh(
+    emb_bucketed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose bucket is within
+    ``multiprobe_hamming`` bits of the query's bucket (multi-probe LSH
+    recovers recall near hyperplane boundaries)."""
+    rng = np.random.default_rng([seed, n_planes, dim])
+    planes = rng.standard_normal((n_planes, dim))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbucket = sum(1 << i for i, p in enumerate(planes) if float(p @ q) >= 0)
+    probes = [qbucket]
+    if multiprobe_hamming >= 1:
+        probes += [qbucket ^ (1 << i) for i in range(n_planes)]
+    cand = emb_bucketed.filter(F.col("bucket").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def knn_join_lsh(
+    emb_bucketed: DataFrame,
+    k: int = 1,
+    min_cos: float = -1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(a, b, cos_r): per-vector top-k neighbors among same-bucket
+    candidates — embedding-cosine near-dup at bucket-join cost."""
+    a = emb_bucketed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
+    )
+    b = emb_bucketed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket"
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("a") != F.col("b"))
+    cos = _dot("va", "vb") / (_norm("va") * _norm("vb"))
+    scored = pairs.select("a", "b", F.round(cos, 6).alias("cos_r")).filter(
+        F.col("cos_r") >= min_cos
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos_r"), F.asc("b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1,0 +1,89 @@
+"""Structured Streaming incremental ingest (SURVEY.md §2.9).
+
+The reference has no true streaming — uploads are processed synchronously
+inside the HTTP request (reference app/controllers/document.py:174-184)
+and the only time-window computation is a 24h sliding metric count
+(reference app/services/metrics.py:47-63). This module provides the
+Spark-native incremental path those semantics generalize to:
+
+- ``stream_postings``: readStream over a corpus directory -> tokenize ->
+  per-microbatch append of exploded postings (the incremental analog of
+  the upload path's tokenize+insert).
+- ``stream_metrics_24h``: sliding-window processed-file counts with a
+  watermark — the A8 metric as a real streaming aggregation.
+
+Incremental INDEX maintenance (merging new postings into compressed
+(term, shard) runs) is deliberately batch: each microbatch appends to the
+postings table, and ``compact_index`` re-encodes only the (term, shard)
+groups that received new postings — an idempotent merge expressible with
+the same builder kernels (merge_encoded_runs handles the codec side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfidf_spark.operators.postings import with_term_counts
+
+
+def stream_corpus(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str = "repo string, path string, commit string, lang string, content string",
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """File-source stream of corpus rows (new parquet files = new docs)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def stream_postings(
+    corpus_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "content",
+    code_aware: bool = False,
+):
+    """Tokenize the stream and append exploded postings to parquet.
+
+    Exactly-once via the streaming checkpoint; doc_id derived
+    deterministically (xxhash64 of natural keys) so replays are
+    idempotent at the row level too.
+    """
+    counted = with_term_counts(corpus_stream, text_col, code_aware)
+    exploded = counted.select(
+        F.xxhash64("repo", "path", "commit").alias("doc_id"),
+        F.explode_outer("term_counts").alias("term", "cnt"),
+        F.col("dl"),
+        F.spark_partition_id().alias("part_id"),
+    )
+    return (
+        exploded.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
+def stream_metrics_24h(
+    corpus_stream: DataFrame,
+    ts_col: str = "ingested_at",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding 24h docs-processed count (the A8 metric,
+    reference app/services/metrics.py:47-63) with late-data watermark."""
+    with_ts = (
+        corpus_stream.withColumn(ts_col, F.current_timestamp())
+        if ts_col not in corpus_stream.columns
+        else corpus_stream
+    )
+    return (
+        with_ts.withWatermark(ts_col, "1 hour")
+        .groupBy(F.window(F.col(ts_col), "24 hours", slide))
+        .agg(F.count(F.lit(1)).alias("files_processed_last_24h"))
+    )
