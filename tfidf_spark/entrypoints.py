@@ -220,6 +220,66 @@ def q_lang_id(spark, sf_dir):
 # Relational operators over the TPC-H-ish tables (SURVEY.md §2.2-2.5)
 # --------------------------------------------------------------------------
 
+def q_tfidf_scoped(spark, sf_dir):
+    """Collection-scoped per-doc TF-IDF: the reference's
+    GET /documents/{id}/tfidf?collection_id= path (J3 semi-join scoping,
+    reference app/repositories/document.py:216-229) with lang as the
+    collection: df and N computed WITHIN the doc's lang scope. Top-5 terms
+    per doc for one scope ('en' analog: lang='en')."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    n = docs.count()
+    postings = build_postings(docs, text_col="text")
+    scoped_df = term_df(postings)
+    stats = score_tfidf(with_tf(postings), scoped_df, n)
+    sel = stats.select(
+        "doc_id", "term",
+        F.col("frequency").cast("long").alias("frequency"),
+        F.round("tfidf", 6).alias("tfidf_r"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
+    return sel.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """J3-analog explicit left-semi join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def q_metrics_full(spark, sf_dir):
+    """A7 analog: the reference's min/max/avg/sum/count processing metrics
+    (reference app/services/metrics.py:10-45) as one grouped aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 4).alias("min_v"),
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(F.sum("value"), 4).alias("sum_v"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """F12 analog: JSON prop extraction + aggregate over the parsed field."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_union_dedup(spark, sf_dir):
+    """Set-op coverage (SURVEY.md §2.6): union + distinct of two scopes."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return urgent.union(big).distinct()
+
+
 def q_scan_filter_project(spark, sf_dir):
     """P1/P2: predicate + projection pushed to the parquet scan."""
     li = _t(spark, sf_dir, "lineitem")
@@ -427,6 +487,11 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "token_quality": q_token_quality,
     "lang_id": q_lang_id,
+    "tfidf_scoped": q_tfidf_scoped,
+    "customers_with_orders": q_customers_with_orders,
+    "metrics_full": q_metrics_full,
+    "events_json": q_events_json,
+    "union_dedup": q_union_dedup,
     "scan_filter_project": q_scan_filter_project,
     "pagination": q_pagination,
     "lineitem_agg": q_lineitem_agg,
@@ -651,6 +716,46 @@ ORACLES = {
           WHERE rn = 1)
         SELECT d.doc_id, COALESCE(b.mlang, 'und') AS pred_lang
         FROM documents d LEFT JOIN best b USING (doc_id)""",
+    "tfidf_scoped": """
+        WITH docs_en AS (SELECT * FROM documents WHERE lang = 'en'),
+        toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM docs_en),
+        p AS (
+          SELECT doc_id, term, COUNT(*)::BIGINT AS cnt
+          FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY 1, 2),
+        dl AS (SELECT doc_id, len(t)::BIGINT AS dl FROM toks),
+        tdf AS (SELECT term, COUNT(*)::BIGINT AS df FROM p GROUP BY 1),
+        st AS (SELECT COUNT(*)::DOUBLE AS n FROM docs_en),
+        sel AS (
+          SELECT p.doc_id, p.term, p.cnt AS frequency,
+                 round((p.cnt::DOUBLE / dl.dl) * ln(st.n / tdf.df::DOUBLE), 6)
+                   AS tfidf_r
+          FROM p JOIN dl USING (doc_id) JOIN tdf USING (term), st)
+        SELECT doc_id, term, frequency, tfidf_r FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rn FROM sel)
+        WHERE rn <= 5""",
+    "customers_with_orders": """
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "metrics_full": """
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               round(MIN(value), 4) AS min_v, round(MAX(value), 4) AS max_v,
+               round(SUM(value), 4) AS sum_v, round(AVG(value), 6) AS avg_v
+        FROM events GROUP BY 1""",
+    "events_json": """
+        SELECT event_type, COUNT(*)::BIGINT AS n,
+               SUM(k)::BIGINT AS sum_k, MIN(k)::BIGINT AS min_k,
+               MAX(k)::BIGINT AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY 1""",
+    "union_dedup": """
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_totalprice > 400000""",
     "scan_filter_project": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_discount
         FROM lineitem WHERE l_quantity > 45 AND l_discount > 0.09""",
