@@ -289,18 +289,28 @@ class IndexHandle:
         self.avgdl = self.manifest["avgdl"]
         self.k1 = self.manifest["k1"]
         self.b = self.manifest["b"]
+        self._dfs: dict[str, DataFrame] = {}
+
+    def _cached(self, name: str) -> DataFrame:
+        # one read per table per handle: repeated spark.read calls re-list
+        # files and re-read footers on every query
+        df = self._dfs.get(name)
+        if df is None:
+            df = self.spark.read.parquet(f"{self.path}/{name}")
+            self._dfs[name] = df
+        return df
 
     @property
     def term_postings(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/term_postings")
+        return self._cached("term_postings")
 
     @property
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/term_stats")
+        return self._cached("term_stats")
 
     @property
     def doc_stats(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.path}/doc_stats")
+        return self._cached("doc_stats")
 
 
 def load_index(spark: SparkSession, path: str) -> IndexHandle:
