@@ -175,6 +175,14 @@ def q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(docs, _shingles(docs), text_col="text")
 
 
+def q_chargram_fingerprint(spark, sf_dir):
+    """Rolling character-gram fingerprint: min md5 over 16-char windows
+    sampled every 4 chars (winnowing-style), pure JVM HOFs."""
+    return textstats.chargram_fingerprint(
+        _t(spark, sf_dir, "documents"), text_col="text"
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
@@ -482,6 +490,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_near_pairs": q_simhash_near_pairs,
     "doc_fingerprint": q_doc_fingerprint,
+    "chargram_fingerprint": q_chargram_fingerprint,
     "knn_top1": q_knn_top1,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_stats": q_embedding_stats,
@@ -653,6 +662,13 @@ ORACLES = {
             ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
         SELECT a, b, bit_count(xor(sa, sb))::BIGINT AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 20""",
+    "chargram_fingerprint": """
+        SELECT doc_id,
+               CASE WHEN length(text) >= 16 THEN (
+                 SELECT MIN(md5(substring(d.text, i, 16)))
+                 FROM unnest(generate_series(1, length(d.text) - 15, 4)) AS g(i)
+               ) END AS cg_fp
+        FROM documents d""",
     "knn_top1": """
         WITH za AS (
           SELECT vec_id, unnest(embedding)::DOUBLE AS x,

@@ -61,6 +61,29 @@ def lang_id(
     )
 
 
+def chargram_fingerprint(
+    docs: DataFrame,
+    gram: int = 16,
+    stride: int = 4,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, cg_fp): windowed character-gram fingerprint — the min hash
+    over all ``gram``-char windows sampled every ``stride`` chars
+    (winnowing-style rolling fingerprint). Pure JVM HOFs (sequence ->
+    substring -> md5 -> array_min); docs shorter than ``gram`` get NULL."""
+    windows = F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - (gram - 1), F.lit(stride)),
+        lambda i: F.md5(F.col(text_col).substr(i, F.lit(gram))),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(
+            F.length(text_col) >= gram, F.array_min(windows)
+        ).alias("cg_fp"),
+    )
+
+
 def fingerprints(docs: DataFrame, shingles: DataFrame,
                  text_col: str = "content", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, content_sha256, min_shingle_md5): exact identity hash +
