@@ -1,0 +1,64 @@
+"""Incremental maintenance: compacting a delta into an index must equal a
+full rebuild over the union (with avgdl pinned to the base), and must not
+decode untouched runs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfidf_spark.index.builder import build_index, load_index
+from tfidf_spark.index.incremental import compact_index
+from tfidf_spark.index.query import bm25_query_terms
+from tfidf_spark.sources.corpus import synth_corpus, with_doc_id
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    full = with_doc_id(synth_corpus(spark, 120, partitions=4)).cache()
+    base = full.filter(F.col("doc_id") % 3 != 0).cache()
+    delta = full.filter(F.col("doc_id") % 3 == 0).cache()
+    full.count()
+    return full, base, delta
+
+
+def _results(spark, path, terms, k=15):
+    idx = load_index(spark, path)
+    return [
+        (r["doc_id"], round(r["score"], 9))
+        for r in bm25_query_terms(idx, terms, k=k).collect()
+    ]
+
+
+def test_compact_equals_full_rebuild(spark, split_corpus, tmp_path):
+    full, base, delta = split_corpus
+    base_dir = str(tmp_path / "base")
+    build_index(base, base_dir, n_shards=4)
+    base_idx = load_index(spark, base_dir)
+
+    merged_dir = str(tmp_path / "merged")
+    manifest = compact_index(base_idx, delta, merged_dir, force=True)
+    assert manifest["n_docs"] == full.count()
+    assert manifest["increments"] == 1
+
+    # oracle: full rebuild over the union with avgdl pinned to the base's
+    rebuild_dir = str(tmp_path / "rebuild")
+    build_index(full, rebuild_dir, n_shards=4, avgdl_override=base_idx.avgdl)
+
+    for terms in (["w0"], ["w1", "w7"], ["w3", "w250", "w999"], ["zzz"]):
+        assert _results(spark, merged_dir, terms) == _results(
+            spark, rebuild_dir, terms
+        ), terms
+
+
+def test_drift_guard(spark, split_corpus, tmp_path):
+    _, base, _ = split_corpus
+    base_dir = str(tmp_path / "b2")
+    build_index(base, base_dir, n_shards=4)
+    base_idx = load_index(spark, base_dir)
+    # a delta of pathologically long docs shifts avgdl beyond 10%
+    long_docs = base.limit(20).withColumn(
+        "content", F.concat_ws(" ", *([F.col("content")] * 30))
+    ).withColumn("doc_id", F.col("doc_id") + 1)
+    with pytest.raises(RuntimeError, match="avgdl drift"):
+        compact_index(base_idx, long_docs, str(tmp_path / "m2"))

@@ -165,6 +165,7 @@ def build_index(
     b: float = BM25_B,
     source_snapshot: str | None = None,
     resume: bool = False,
+    avgdl_override: float | None = None,
 ) -> dict:
     """Build the full index at ``out_dir``. Returns the manifest dict.
 
@@ -219,6 +220,11 @@ def build_index(
         .collect()[0]
     )
     n_docs, avgdl = int(cs["n"]), float(cs["avgdl"] or 0.0)
+    if avgdl_override is not None:
+        # incremental maintenance pins the ORIGINAL avgdl so stored
+        # weights stay mutually consistent across increments (see
+        # incremental.py for the drift/rebuild policy)
+        avgdl = avgdl_override
 
     def _encode():
         postings = raw.filter(F.col("term").isNotNull()).withColumn(

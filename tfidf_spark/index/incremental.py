@@ -1,0 +1,170 @@
+"""Incremental index maintenance: merge new documents into an existing
+compressed index by re-encoding ONLY the (term, shard) runs they touch.
+
+This is the scalable analog of the reference's per-upload index insert
+(reference app/repositories/document.py:148-173: each new document adds
+its posting rows) and the cascade-delete maintenance note
+(SURVEY.md §2.6): work is proportional to the DELTA's term footprint,
+never to the existing index size — untouched runs are carried over as-is
+(their parquet rows are rewritten but never decoded).
+
+BM25 weight consistency: stored weights fold in avgdl at encode time.
+Increments PIN the base index's avgdl (so all runs score consistently)
+and track the drift between pinned and true avgdl in the manifest;
+when |drift| exceeds ``rebuild_threshold`` (default 10%) the caller
+should schedule a full rebuild — compact() raises unless forced.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tfidf_spark.index.builder import (
+    INDEX_SCHEMA,
+    IndexHandle,
+    _encode_sorted_stream,
+    load_index,
+)
+from tfidf_spark.operators.postings import with_term_counts
+from tfidf_spark.operators.scoring import bm25_weight_expr
+
+
+def compact_index(
+    index: IndexHandle,
+    new_docs: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    code_aware: bool = False,
+    rebuild_threshold: float = 0.10,
+    force: bool = False,
+) -> dict:
+    """Merge ``new_docs`` into ``index``, writing a NEW index at
+    ``out_dir`` (immutable snapshots — the old index stays queryable
+    during the merge, Iceberg-style).
+
+    Steps (one tokenize pass over the delta only):
+      1. tokenize delta -> delta postings with weights under the PINNED
+         base avgdl
+      2. affected = distinct (term, shard) of the delta
+      3. decode-merge: affected old runs -> posting rows, union with the
+         delta rows, re-encode (Tungsten sort + stream kernel — same
+         kernel as the full build)
+      4. carry over unaffected runs untouched + rewrite stats/manifest
+    """
+    spark = new_docs.sparkSession
+    n_shards = index.manifest["n_shards"]
+    k1, b = index.k1, index.b
+    pinned_avgdl = index.avgdl if index.avgdl > 0 else 1.0
+
+    counted = with_term_counts(new_docs, text_col, code_aware)
+    delta = counted.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer("term_counts").alias("term", "cnt"),
+        F.col("dl"),
+    )
+    delta.cache()
+    delta_stats = delta.groupBy("doc_id").agg(
+        F.max("dl").alias("dl"), F.count("term").alias("n_unique")
+    )
+    n_new = delta_stats.count()
+    new_dl_sum = delta_stats.agg(F.sum("dl")).collect()[0][0] or 0
+
+    n_docs = index.n_docs + n_new
+    true_avgdl = (index.avgdl * index.n_docs + float(new_dl_sum)) / max(n_docs, 1)
+    drift = abs(true_avgdl - pinned_avgdl) / max(pinned_avgdl, 1e-12)
+    if drift > rebuild_threshold and not force:
+        raise RuntimeError(
+            f"avgdl drift {drift:.3f} exceeds rebuild threshold "
+            f"{rebuild_threshold}: schedule a full rebuild (or force=True)"
+        )
+
+    delta_posts = (
+        delta.filter(F.col("term").isNotNull())
+        .withColumn("w", bm25_weight_expr("cnt", "dl", pinned_avgdl, k1, b))
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
+        .select("term", "shard", "doc_id", "w")
+    )
+
+    affected = delta_posts.select("term", "shard").distinct()
+    old = index.term_postings
+    touched_old = old.join(affected, ["term", "shard"], "left_semi")
+    untouched = old.join(affected, ["term", "shard"], "left_anti")
+
+    # decode touched runs back to posting rows (Arrow kernel), then merge
+    import numpy as np
+    import pandas as pd
+
+    from tfidf_spark.index.codec import decode_postings
+
+    def _decode(batches):
+        for pdf in batches:
+            ids_all, ws_all, terms_all, shards_all = [], [], [], []
+            for term, shard, pb, wb in zip(
+                pdf["term"], pdf["shard"], pdf["postings"], pdf["weights"]
+            ):
+                ids, ws = decode_postings(bytes(pb), bytes(wb))
+                ids_all.append(ids)
+                ws_all.append(ws)
+                terms_all.append(np.repeat(term, ids.size))
+                shards_all.append(np.full(ids.size, shard, dtype=np.int32))
+            if not ids_all:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_all),
+                    "shard": np.concatenate(shards_all),
+                    "doc_id": np.concatenate(ids_all),
+                    "w": np.concatenate(ws_all),
+                }
+            )
+
+    old_rows = touched_old.mapInPandas(
+        _decode, "term string, shard int, doc_id long, w double"
+    )
+    merged_rows = old_rows.unionByName(delta_posts)
+    re_encoded = (
+        merged_rows.repartition("term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(_encode_sorted_stream, INDEX_SCHEMA)
+    )
+    re_encoded.unionByName(untouched).write.mode("overwrite").parquet(
+        f"{out_dir}/term_postings"
+    )
+
+    # stats tables: doc_stats = old ∪ delta; term_stats recomputed from runs
+    index.doc_stats.unionByName(delta_stats).write.mode("overwrite").parquet(
+        f"{out_dir}/doc_stats"
+    )
+    tp = spark.read.parquet(f"{out_dir}/term_postings")
+    tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/term_stats")
+
+    stats = tp.agg(
+        F.sum("df_shard").alias("n_postings"),
+        F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
+    ).collect()[0]
+    manifest = dict(index.manifest)
+    manifest.update(
+        {
+            "n_docs": n_docs,
+            "avgdl": pinned_avgdl,
+            "true_avgdl": true_avgdl,
+            "avgdl_drift": drift,
+            "increments": index.manifest.get("increments", 0) + 1,
+            "metrics": {
+                "docs_tokenized": n_new,
+                "postings_emitted": int(stats["n_postings"] or 0),
+                "bytes_compressed": int(stats["bytes"] or 0),
+            },
+        }
+    )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    delta.unpersist()
+    return manifest
