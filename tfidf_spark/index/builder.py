@@ -296,6 +296,7 @@ class IndexHandle:
         self.k1 = self.manifest["k1"]
         self.b = self.manifest["b"]
         self._dfs: dict[str, DataFrame] = {}
+        self._n_tombstones: int | None = None
 
     def _cached(self, name: str) -> DataFrame:
         # one read per table per handle: repeated spark.read calls re-list
@@ -317,6 +318,24 @@ class IndexHandle:
     @property
     def doc_stats(self) -> DataFrame:
         return self._cached("doc_stats")
+
+    @property
+    def tombstones(self) -> DataFrame | None:
+        """Soft-deleted doc_ids (see incremental.delete_docs), or None."""
+        if not os.path.isdir(f"{self.path}/tombstones"):
+            return None
+        return self._cached("tombstones")
+
+    @property
+    def n_tombstones(self) -> int:
+        if self._n_tombstones is None:
+            ts = self.tombstones
+            self._n_tombstones = 0 if ts is None else ts.count()
+        return self._n_tombstones
+
+    def invalidate_tombstones(self) -> None:
+        self._dfs.pop("tombstones", None)
+        self._n_tombstones = None
 
 
 def load_index(spark: SparkSession, path: str) -> IndexHandle:

@@ -33,6 +33,89 @@ from tfidf_spark.operators.postings import with_term_counts
 from tfidf_spark.operators.scoring import bm25_weight_expr
 
 
+def decode_runs(term_postings: DataFrame) -> DataFrame:
+    """Inverse of the encode kernel: compressed runs -> posting rows
+    ``(term, shard, doc_id, w)`` (Arrow kernel, vectorized decode)."""
+    import numpy as np
+    import pandas as pd
+
+    from tfidf_spark.index.codec import decode_postings
+
+    def _decode(batches):
+        for pdf in batches:
+            ids_all, ws_all, terms_all, shards_all = [], [], [], []
+            for term, shard, pb, wb in zip(
+                pdf["term"], pdf["shard"], pdf["postings"], pdf["weights"]
+            ):
+                ids, ws = decode_postings(bytes(pb), bytes(wb))
+                ids_all.append(ids)
+                ws_all.append(ws)
+                terms_all.append(np.repeat(term, ids.size))
+                shards_all.append(np.full(ids.size, shard, dtype=np.int32))
+            if not ids_all:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": np.concatenate(terms_all),
+                    "shard": np.concatenate(shards_all),
+                    "doc_id": np.concatenate(ids_all),
+                    "w": np.concatenate(ws_all),
+                }
+            )
+
+    return term_postings.mapInPandas(
+        _decode, "term string, shard int, doc_id long, w double"
+    )
+
+
+def delete_docs(index: IndexHandle, doc_ids: list[int]) -> int:
+    """Tombstone deletes (the reference's cascade delete,
+    app/db/models.py:89-91, done lakehouse-style): append doc_ids to
+    ``tombstones/`` under the index. O(|delete|) — no run is touched;
+    queries anti-filter tombstones (bm25_query_index over-fetches by the
+    tombstone count so top-k never under-fills); ``compact_deletes``
+    applies them physically. Returns the new tombstone total."""
+    spark = index.spark
+    spark.createDataFrame([(int(d),) for d in doc_ids], "doc_id long").write.mode(
+        "append"
+    ).parquet(f"{index.path}/tombstones")
+    index.invalidate_tombstones()
+    return index.n_tombstones
+
+
+def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
+    """Physically rewrite the index without tombstoned docs: decode ->
+    anti-join -> re-encode every run (a full compaction — run it when the
+    tombstone fraction justifies the rewrite). avgdl stays pinned; N and
+    per-term df are corrected."""
+    spark = index.spark
+    ts = index.tombstones
+    if ts is None:
+        raise ValueError("no tombstones to compact")
+    rows = decode_runs(index.term_postings).join(ts, "doc_id", "left_anti")
+    (
+        rows.repartition("term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(_encode_sorted_stream, INDEX_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_postings")
+    )
+    kept_stats = index.doc_stats.join(ts, "doc_id", "left_anti")
+    kept_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+    n_docs = spark.read.parquet(f"{out_dir}/doc_stats").count()
+
+    tp = spark.read.parquet(f"{out_dir}/term_postings")
+    tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/term_stats")
+
+    manifest = dict(index.manifest)
+    manifest.update({"n_docs": n_docs, "tombstones_compacted": index.n_tombstones})
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
 def compact_index(
     index: IndexHandle,
     new_docs: DataFrame,
@@ -95,37 +178,7 @@ def compact_index(
     touched_old = old.join(affected, ["term", "shard"], "left_semi")
     untouched = old.join(affected, ["term", "shard"], "left_anti")
 
-    # decode touched runs back to posting rows (Arrow kernel), then merge
-    import numpy as np
-    import pandas as pd
-
-    from tfidf_spark.index.codec import decode_postings
-
-    def _decode(batches):
-        for pdf in batches:
-            ids_all, ws_all, terms_all, shards_all = [], [], [], []
-            for term, shard, pb, wb in zip(
-                pdf["term"], pdf["shard"], pdf["postings"], pdf["weights"]
-            ):
-                ids, ws = decode_postings(bytes(pb), bytes(wb))
-                ids_all.append(ids)
-                ws_all.append(ws)
-                terms_all.append(np.repeat(term, ids.size))
-                shards_all.append(np.full(ids.size, shard, dtype=np.int32))
-            if not ids_all:
-                continue
-            yield pd.DataFrame(
-                {
-                    "term": np.concatenate(terms_all),
-                    "shard": np.concatenate(shards_all),
-                    "doc_id": np.concatenate(ids_all),
-                    "w": np.concatenate(ws_all),
-                }
-            )
-
-    old_rows = touched_old.mapInPandas(
-        _decode, "term string, shard int, doc_id long, w double"
-    )
+    old_rows = decode_runs(touched_old)
     merged_rows = old_rows.unionByName(delta_posts)
     re_encoded = (
         merged_rows.repartition("term", "shard")

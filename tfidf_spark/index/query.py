@@ -163,6 +163,12 @@ def bm25_query_index(
         .groupBy("query_id", "k", "term")
         .agg(F.count(F.lit(1)).alias("q_cnt"))
     )
+    # Tombstoned docs are filtered AFTER the kernel; each per-shard top-k
+    # over-fetches by the tombstone count so the final top-k never
+    # under-fills (at most n_tombstones removable entries per shard).
+    n_ts = index.n_tombstones
+    if n_ts:
+        qterms = qterms.withColumn("k", (F.col("k") + F.lit(n_ts)).cast("int"))
 
     tp = index.term_postings
     ts = index.term_stats
@@ -196,10 +202,16 @@ def bm25_query_index(
     per_shard = rows.groupBy("query_id", "shard").applyInPandas(
         _topk_shard, _KERNEL_SCHEMA
     )
+    if n_ts:
+        per_shard = per_shard.join(
+            F.broadcast(index.tombstones), "doc_id", "left_anti"
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = per_shard.withColumn("rank", F.row_number().over(w))
+    orig_k = queries.select("query_id", F.col("k").alias("k_orig"))
     return (
-        per_shard.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= F.col("k"))
+        ranked.join(F.broadcast(orig_k), "query_id")
+        .filter(F.col("rank") <= F.col("k_orig"))
         .select("query_id", "doc_id", "score", "rank")
     )
 
