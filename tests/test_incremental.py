@@ -51,6 +51,14 @@ def test_compact_equals_full_rebuild(spark, split_corpus, tmp_path):
         ), terms
 
 
+def test_reingest_guard(spark, split_corpus, tmp_path):
+    _, base, _ = split_corpus
+    base_dir = str(tmp_path / "b3")
+    build_index(base, base_dir, n_shards=4)
+    with pytest.raises(ValueError, match="already exist"):
+        compact_index(load_index(spark, base_dir), base.limit(5), str(tmp_path / "m3"))
+
+
 def test_drift_guard(spark, split_corpus, tmp_path):
     _, base, _ = split_corpus
     base_dir = str(tmp_path / "b2")

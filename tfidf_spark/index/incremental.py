@@ -157,6 +157,17 @@ def compact_index(
     n_new = delta_stats.count()
     new_dl_sum = delta_stats.agg(F.sum("dl")).collect()[0][0] or 0
 
+    # Re-ingest guard (the reference rejects duplicate uploads by hash,
+    # app/controllers/document.py:150-156): a doc_id already in the base
+    # would double its stats and postings. Deduplicate upstream (left_anti
+    # on doc_id or content sha) before compacting.
+    overlap = delta_stats.join(index.doc_stats, "doc_id", "left_semi").count()
+    if overlap:
+        raise ValueError(
+            f"{overlap} delta doc_ids already exist in the base index; "
+            "dedup the delta (left_anti on doc_id) before compact_index"
+        )
+
     n_docs = index.n_docs + n_new
     true_avgdl = (index.avgdl * index.n_docs + float(new_dl_sum)) / max(n_docs, 1)
     drift = abs(true_avgdl - pinned_avgdl) / max(pinned_avgdl, 1e-12)
