@@ -78,13 +78,12 @@ def main():
         n_results = bm25_query_index(idx, qdf).count()
         timings["index_query_batch50"] = round(time.perf_counter() - t0, 3)
 
+        from tfidf_spark.index.query import bm25_query_terms_local
+
         lat = []
         for qid, terms, k in qset[:8]:
-            q1 = spark.createDataFrame(
-                [(qid, terms, k)], "query_id long, terms array<string>, k int"
-            )
             t0 = time.perf_counter()
-            bm25_query_index(idx, q1).collect()
+            bm25_query_terms_local(idx, terms, k)
             lat.append(time.perf_counter() - t0)
         query_p50_ms = round(1000 * statistics.median(lat), 1)
     finally:

@@ -109,6 +109,24 @@ def test_batch_queries_on_real_data(spark, tmp_path):
             assert g["score"] == pytest.approx(e["score"], rel=1e-9), f"q{qid}"
 
 
+@pytest.mark.parametrize(
+    "terms,k",
+    [(["a", "c"], 10), (["a", "a", "b"], 2), (["zzz"], 5), (["c", "zzz"], 5)],
+)
+def test_local_fast_path_matches_distributed(spark, tiny_corpus, tiny_index, terms, k):
+    from tfidf_spark.index.query import bm25_query_terms_local
+
+    out, _ = tiny_index
+    idx = load_index(spark, out)
+    local = bm25_query_terms_local(idx, terms, k=k)
+    dist = [
+        (r["doc_id"], r["score"]) for r in bm25_query_terms(idx, terms, k=k).collect()
+    ]
+    assert [d for d, _ in local] == [d for d, _ in dist]
+    for (_, a), (_, b) in zip(local, dist):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
 def test_determinism_across_shard_counts(spark, tiny_corpus, tmp_path):
     """Same corpus, different shard counts -> identical query results
     (the parallelism-determinism requirement, SURVEY.md §5.4)."""

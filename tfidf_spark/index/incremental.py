@@ -27,7 +27,6 @@ from tfidf_spark.index.builder import (
     INDEX_SCHEMA,
     IndexHandle,
     _encode_sorted_stream,
-    load_index,
 )
 from tfidf_spark.operators.postings import with_term_counts
 from tfidf_spark.operators.scoring import bm25_weight_expr

@@ -229,3 +229,62 @@ def bm25_query_terms(
         .select("doc_id", "score")
         .orderBy("rank")
     )
+
+
+def bm25_query_terms_local(
+    index: IndexHandle, terms: list[str], k: int = 10
+) -> list[tuple[int, float]]:
+    """Low-latency single-query path: ONE pruned scan collects the
+    query's (term, shard) runs to the driver (a few compressed blobs),
+    then the MaxScore kernel runs locally — no shuffle, no window, no
+    Python-worker round trip. This is the query-coordinator pattern a
+    serving tier uses; the distributed path (bm25_query_terms) is for
+    query BATCHES. Exact same semantics: shards are disjoint doc sets,
+    so feeding each run as its own list to the kernel double-counts
+    nothing, and df(term) = Σ df_shard of the collected runs.
+    """
+    import math
+
+    import pandas as pd
+
+    if not terms:
+        return []
+    distinct = sorted(set(terms))
+    q_cnt = {t: terms.count(t) for t in distinct}
+    rows = (
+        index.term_postings.filter(F.col("term").isin(distinct))
+        .select("term", "shard", "df_shard", "postings", "weights", "block_max")
+        .collect()
+    )
+    if not rows:
+        return []
+    df_total: dict[str, int] = {}
+    for r in rows:
+        df_total[r["term"]] = df_total.get(r["term"], 0) + r["df_shard"]
+    ts = index.tombstones
+    deleted = (
+        {r["doc_id"] for r in ts.collect()} if index.n_tombstones else set()
+    )
+    k_fetch = k + len(deleted)
+    pdf = pd.DataFrame(
+        {
+            "query_id": [0] * len(rows),
+            "k": [k_fetch] * len(rows),
+            "term": [r["term"] for r in rows],
+            "mult": [
+                q_cnt[r["term"]] * math.log(index.n_docs / df_total[r["term"]])
+                for r in rows
+            ],
+            "shard": [r["shard"] for r in rows],
+            "postings": [bytes(r["postings"]) for r in rows],
+            "weights": [bytes(r["weights"]) for r in rows],
+            "block_max": [r["block_max"] for r in rows],
+        }
+    )
+    out = _topk_shard(pdf)
+    result = [
+        (int(d), float(s))
+        for d, s in zip(out["doc_id"], out["score"])
+        if int(d) not in deleted
+    ]
+    return result[:k]
