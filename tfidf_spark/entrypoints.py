@@ -51,7 +51,23 @@ LANG_MARKERS = {  # deterministic marker lists for the lang-ID heuristic
 }
 
 
+def _tune(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable confs to a session we did not
+    build (the driver harness hands us its own SparkSession). Most
+    important: the InferFiltersFromGenerate exclusion — without it every
+    tokenize UDF below an explode runs TWICE per document."""
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass  # conf locked down -> correctness is unaffected, only speed
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
