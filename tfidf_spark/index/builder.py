@@ -142,14 +142,33 @@ def stage_postings(
     code_aware: bool = False,
 ) -> None:
     """Stage 1: single tokenize pass -> postings parquet
-    ``(doc_id, term nullable, cnt nullable, dl)``; null term marks a
-    zero-token doc (kept so N/avgdl count it)."""
+    ``(doc_id, term nullable, cnt, dl, part_id)``.
+
+    EVERY doc additionally emits one null-term MARKER row with
+    ``cnt = n_unique``: doc stats and per-partition lineage then derive
+    from the markers with a filter/projection instead of a 17M-row
+    groupBy shuffle, and zero-token docs stay counted in N/avgdl. The
+    marker is prepended to the exploded map entries inside ONE explode
+    (concat of arrays), so tokenization still runs exactly once."""
     counted = with_term_counts(docs, text_col, code_aware)
+    marker = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("key"),
+            F.size("term_counts").alias("value"),
+        )
+    )
+    entries = F.concat(marker, F.map_entries("term_counts"))
     exploded = counted.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer("term_counts").alias("term", "cnt"),
+        F.explode(entries).alias("e"),
         F.col("dl"),
         F.spark_partition_id().alias("part_id"),  # per-partition lineage key
+    ).select(
+        "doc_id",
+        F.col("e.key").alias("term"),
+        F.col("e.value").alias("cnt"),
+        "dl",
+        "part_id",
     )
     exploded.write.mode("overwrite").parquet(f"{out_dir}/postings")
 
@@ -201,14 +220,15 @@ def build_index(
     raw = spark.read.parquet(f"{out_dir}/postings")
 
     def _doc_stats():
-        raw.groupBy("doc_id").agg(
-            F.max("dl").alias("dl"),
-            F.count("term").alias("n_unique"),  # count() skips nulls
+        # markers only: shuffle-free doc stats + lineage over n_docs rows
+        markers = raw.filter(F.col("term").isNull())
+        markers.select(
+            "doc_id", "dl", F.col("cnt").cast("long").alias("n_unique")
         ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
-        # per-partition lineage rows from the materialized postings
-        raw.groupBy(F.col("part_id")).agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count("term").alias("n_postings"),
+        # per-posting count per doc == n_unique (one row per distinct term)
+        markers.groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cnt").alias("n_postings"),
         ).withColumn("stage", F.lit("postings")).write.mode("overwrite").parquet(
             f"{out_dir}/_lineage/partitions"
         )
