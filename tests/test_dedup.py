@@ -6,9 +6,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from tfidf_spark.operators.dedup import (
+    doc_shingle_arrays,
     doc_shingles,
     exact_duplicates,
     jaccard_pairs,
+    lsh_bucket_stats,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
@@ -48,11 +50,54 @@ def test_jaccard_finds_near_dup(docs):
 
 
 def test_minhash_lsh_surfaces_near_dups(docs):
-    sig = minhash_signatures(doc_shingles(docs))
+    sig = minhash_signatures(doc_shingle_arrays(docs))
     cand = {(r["a"], r["b"]): r["n_bands"] for r in lsh_candidate_pairs(sig).collect()}
     assert cand[(1, 2)] == 8                      # identical: all bands collide
     assert (1, 3) in cand                         # near dup: >=1 band
     assert (4, 5) not in cand
+
+
+def test_minhash_matches_exploded_form(docs):
+    """The zero-shuffle array MinHash must equal min(md5(seed:s)) over the
+    exploded shingle rows (the definitional form / the DuckDB oracle)."""
+    sig = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in minhash_signatures(doc_shingle_arrays(docs)).collect()
+    }
+    sh = doc_shingles(docs)
+    seeds = sh.sparkSession.range(8).select(F.col("id").cast("int").alias("seed"))
+    ref = {
+        (r["doc_id"], r["seed"]): r["mh"]
+        for r in sh.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")))
+            ).alias("mh")
+        )
+        .collect()
+    }
+    assert sig == ref
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A planted degenerate bucket (many docs, identical signatures) is
+    dropped by max_bucket: pairs stay bounded instead of quadratic, and
+    normal buckets are unaffected."""
+    hot = [(i, "same boring license header text repeated everywhere here")
+           for i in range(100, 150)]
+    cold = [(1, "unique alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "unique alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(hot + cold, "doc_id bigint, content string")
+    sig = minhash_signatures(doc_shingle_arrays(docs))
+    stats = lsh_bucket_stats(sig).collect()
+    assert max(r["size"] for r in stats) == 50
+    capped = lsh_candidate_pairs(sig, max_bucket=10).collect()
+    ids = {x for r in capped for x in (r["a"], r["b"])}
+    assert not ids & set(range(100, 150))         # hot bucket dropped whole
+    assert any(r["a"] == 1 and r["b"] == 2 for r in capped)  # cold pair kept
+    uncapped = lsh_candidate_pairs(sig).collect()
+    assert len(uncapped) == len(capped) + 50 * 49 // 2
 
 
 def test_simhash_near_pairs(docs):

@@ -59,6 +59,39 @@ def test_reingest_guard(spark, split_corpus, tmp_path):
         compact_index(load_index(spark, base_dir), base.limit(5), str(tmp_path / "m3"))
 
 
+def test_compact_carries_tombstones(spark, split_corpus, tmp_path):
+    """Docs deleted from the base must STAY deleted after an incremental
+    merge — compact_index copies the tombstones into the new snapshot."""
+    from tfidf_spark.index.incremental import delete_docs
+
+    full, base, delta = split_corpus
+    base_dir = str(tmp_path / "b4")
+    build_index(base, base_dir, n_shards=4)
+    base_idx = load_index(spark, base_dir)
+    victims = [r["doc_id"] for r in base.select("doc_id").limit(2).collect()]
+    delete_docs(base_idx, victims)
+
+    merged_dir = str(tmp_path / "m4")
+    compact_index(base_idx, delta, merged_dir, force=True)
+    merged = load_index(spark, merged_dir)
+    assert merged.n_tombstones == 2
+    hits = {
+        r["doc_id"]
+        for r in bm25_query_terms(merged, ["w0", "w1", "w2"], k=500).collect()
+    }
+    assert not hits & set(victims)
+
+
+def test_compact_code_aware_mismatch_raises(spark, split_corpus, tmp_path):
+    _, base, delta = split_corpus
+    base_dir = str(tmp_path / "b5")
+    build_index(base, base_dir, n_shards=4, code_aware=False)
+    with pytest.raises(ValueError, match="tokenizer"):
+        compact_index(
+            load_index(spark, base_dir), delta, str(tmp_path / "m5"), code_aware=True
+        )
+
+
 def test_drift_guard(spark, split_corpus, tmp_path):
     _, base, _ = split_corpus
     base_dir = str(tmp_path / "b2")

@@ -127,6 +127,21 @@ def test_local_fast_path_matches_distributed(spark, tiny_corpus, tiny_index, ter
         assert a == pytest.approx(b, rel=1e-9)
 
 
+def test_local_fast_path_df_budget_fallback(spark, tiny_corpus, tiny_index):
+    """df_budget=0 forces every term over budget: the fast path must
+    delegate to the distributed kernel and return identical results —
+    the driver never collects posting blobs for stop-like terms."""
+    from tfidf_spark.index.query import bm25_query_terms_local
+
+    out, _ = tiny_index
+    idx = load_index(spark, out)
+    direct = bm25_query_terms_local(idx, ["a", "c"], k=10)        # under budget
+    fallback = bm25_query_terms_local(idx, ["a", "c"], k=10, df_budget=0)
+    assert [d for d, _ in fallback] == [d for d, _ in direct]
+    for (_, a), (_, b) in zip(fallback, direct):
+        assert a == pytest.approx(b, rel=1e-9)
+
+
 def test_determinism_across_shard_counts(spark, tiny_corpus, tmp_path):
     """Same corpus, different shard counts -> identical query results
     (the parallelism-determinism requirement, SURVEY.md §5.4)."""

@@ -167,16 +167,23 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def q_minhash_signature(spark, sf_dir):
     """(doc_id, seed, minhash) — md5-based portable MinHash (see
-    functions/hashing.py for why md5 hex ordering is a valid hash order)."""
-    return dedup.minhash_signatures(_shingles(_t(spark, sf_dir, "documents")))
+    functions/hashing.py for why md5 hex ordering is a valid hash order).
+    Computed zero-shuffle from the un-exploded shingle arrays."""
+    return dedup.minhash_signatures(
+        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    )
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """LSH candidate pairs: docs colliding on >=1 of 8 single-row bands.
     The bucket join is the scale path — no pairwise comparisons outside
-    shared buckets."""
-    sig = dedup.minhash_signatures(_shingles(_t(spark, sf_dir, "documents")))
-    return dedup.lsh_candidate_pairs(sig, band_size=1)
+    shared buckets. max_bucket=100 is the hot-bucket guard (mirrored in
+    the oracle SQL); no sf0.01 bucket comes close, so it also documents
+    that nothing was dropped here."""
+    sig = dedup.minhash_signatures(
+        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    )
+    return dedup.lsh_candidate_pairs(sig, band_size=1, max_bucket=100)
 
 
 def q_simhash(spark, sf_dir):
@@ -633,9 +640,15 @@ ORACLES = {
         , sig AS (
           SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || s)) AS minhash
           FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
-          GROUP BY 1, 2)
+          GROUP BY 1, 2),
+        capped AS (
+          SELECT doc_id, seed, minhash FROM (
+            SELECT doc_id, seed, minhash,
+                   COUNT(*) OVER (PARTITION BY seed, minhash) AS bsz
+            FROM sig)
+          WHERE bsz <= 100)
         SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*)::BIGINT AS n_bands
-        FROM sig a JOIN sig b
+        FROM capped a JOIN capped b
           ON a.seed = b.seed AND a.minhash = b.minhash AND a.doc_id < b.doc_id
         GROUP BY 1, 2""",
     "simhash": _TOKS + """

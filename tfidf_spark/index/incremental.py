@@ -121,7 +121,7 @@ def compact_index(
     out_dir: str,
     text_col: str = "content",
     id_col: str = "doc_id",
-    code_aware: bool = False,
+    code_aware: bool | None = None,
     rebuild_threshold: float = 0.10,
     force: bool = False,
 ) -> dict:
@@ -137,8 +137,21 @@ def compact_index(
          delta rows, re-encode (Tungsten sort + stream kernel — same
          kernel as the full build)
       4. carry over unaffected runs untouched + rewrite stats/manifest
+
+    ``code_aware`` defaults to the BASE index's tokenizer mode; passing a
+    different mode explicitly raises — mixing tokenizers in one index
+    silently corrupts postings. Existing tombstones are copied into the
+    new snapshot so deleted docs stay filtered after the merge.
     """
     spark = new_docs.sparkSession
+    base_mode = bool(index.manifest.get("code_aware", False))
+    if code_aware is None:
+        code_aware = base_mode
+    elif bool(code_aware) != base_mode:
+        raise ValueError(
+            f"code_aware={code_aware} conflicts with the base index's "
+            f"tokenizer mode ({base_mode}); an index must use ONE tokenizer"
+        )
     n_shards = index.manifest["n_shards"]
     k1, b = index.k1, index.b
     pinned_avgdl = index.avgdl if index.avgdl > 0 else 1.0
@@ -207,6 +220,12 @@ def compact_index(
     tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/term_stats")
+
+    # carry tombstones forward: the merged snapshot must keep filtering
+    # docs deleted from the base, or they silently reappear in results.
+    n_carried = index.n_tombstones
+    if n_carried:
+        index.tombstones.write.mode("overwrite").parquet(f"{out_dir}/tombstones")
 
     stats = tp.agg(
         F.sum("df_shard").alias("n_postings"),

@@ -104,7 +104,10 @@ def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     for t in range(1, n_essential):
         mult, ids, w, bm = lists[t]
         rest = U.sum() - U[t]
-        keep_block = (mult * bm + rest) >= theta
+        # clamp like U: if mult were ever negative (df > n_docs from stats
+        # drift) the unclamped product is NOT an upper bound and pruning
+        # would turn unsound.
+        keep_block = (np.maximum(mult * bm, 0.0) + rest) >= theta
         if not keep_block.all():
             keep = np.repeat(keep_block, BLOCK_SIZE)[: ids.size]
             ids = ids[keep]
@@ -232,7 +235,7 @@ def bm25_query_terms(
 
 
 def bm25_query_terms_local(
-    index: IndexHandle, terms: list[str], k: int = 10
+    index: IndexHandle, terms: list[str], k: int = 10, df_budget: int = 2_000_000
 ) -> list[tuple[int, float]]:
     """Low-latency single-query path: ONE pruned scan collects the
     query's (term, shard) runs to the driver (a few compressed blobs),
@@ -242,6 +245,14 @@ def bm25_query_terms_local(
     query BATCHES. Exact same semantics: shards are disjoint doc sets,
     so feeding each run as its own list to the kernel double-counts
     nothing, and df(term) = Σ df_shard of the collected runs.
+
+    ``df_budget`` guards the driver: a stop-like term's posting list is
+    proportional to the corpus, and collecting it would OOM the driver at
+    10^12 files. term_stats (one tiny pruned scan, one row per query
+    term) is consulted FIRST; if Σ df exceeds the budget the query is
+    delegated to the distributed kernel (``bm25_query_index``), which
+    returns identical results — the executors decode, the driver only
+    sees k rows.
     """
     import math
 
@@ -251,6 +262,15 @@ def bm25_query_terms_local(
         return []
     distinct = sorted(set(terms))
     q_cnt = {t: terms.count(t) for t in distinct}
+    total_df = (
+        index.term_stats.filter(F.col("term").isin(distinct))
+        .agg(F.sum("df").alias("s"))
+        .collect()[0]["s"]
+        or 0
+    )
+    if total_df > df_budget:
+        out = bm25_query_terms(index, terms, k=k).collect()
+        return [(int(r["doc_id"]), float(r["score"])) for r in out]
     rows = (
         index.term_postings.filter(F.col("term").isin(distinct))
         .select("term", "shard", "df_shard", "postings", "weights", "block_max")

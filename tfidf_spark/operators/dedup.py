@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from tfidf_spark.functions.hashing import portable_min_hash_expr
 from tfidf_spark.functions.tokenize import shingles_udf
 
 
@@ -49,31 +50,78 @@ def doc_shingles(
     )
 
 
-def minhash_signatures(shingles: DataFrame, n_seeds: int = 8) -> DataFrame:
-    """(doc_id, seed, minhash): md5-hex MinHash, portable across engines."""
-    spark = shingles.sparkSession
-    seeds = spark.range(n_seeds).select(F.col("id").cast("int").alias("seed"))
-    return (
-        shingles.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")))
-            ).alias("minhash")
-        )
+def doc_shingle_arrays(
+    docs: DataFrame, n: int = 3, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingles array<string>): un-exploded shingle sets — the
+    input shape for the zero-shuffle MinHash below."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_udf(n)(F.col(text_col)).alias("shingles"),
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, band_size: int = 1) -> DataFrame:
+def minhash_signatures(shingle_arrays: DataFrame, n_seeds: int = 8) -> DataFrame:
+    """(doc_id, seed, minhash): md5-hex MinHash, portable across engines.
+
+    Input: ``doc_shingle_arrays`` output (doc_id, shingles array).
+    ZERO-shuffle plan: each seed's component is a JVM ``array_min(
+    transform(...md5...))`` over the un-exploded shingle array, then the
+    wide row unpivots via ``stack`` — no crossJoin row inflation, no
+    groupBy. An earlier form exploded shingles and crossJoined the seed
+    table, pushing n_seeds x the shingle rows through a shuffle for the
+    identical signatures. Docs with no shingles (< n tokens) produce no
+    rows, matching the exploded form."""
+    mins = [
+        portable_min_hash_expr(F.col("shingles"), s).alias(f"m{s}")
+        for s in range(n_seeds)
+    ]
+    wide = shingle_arrays.select("doc_id", *mins)
+    stack = ", ".join(f"{s}, m{s}" for s in range(n_seeds))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_seeds}, {stack})").alias("seed", "minhash"),
+    ).select(
+        "doc_id", F.col("seed").cast("int").alias("seed"), "minhash"
+    ).filter(F.col("minhash").isNotNull())
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_size: int = 1, max_bucket: int | None = None
+) -> DataFrame:
     """(a, b, n_bands): pairs colliding in >= 1 band. The join is on
     (band, bucket-key) — work is proportional to collisions, never to
-    n^2. band_size=1 maximizes recall; raise it to tighten precision."""
+    n^2. band_size=1 maximizes recall; raise it to tighten precision.
+
+    ``max_bucket`` is the skew guard for 100 TB corpora: one degenerate
+    bucket (empty files, license boilerplate) makes the self-join
+    quadratic IN THAT BUCKET. Buckets with more than ``max_bucket``
+    members are dropped whole — by definition they hold near-identical
+    boilerplate a dedup pipeline handles via exact dedup first; use
+    ``lsh_bucket_stats`` to see what was skipped. The bucket-size window
+    repartitions on the same (band, bucket) keys as the join, so AQE
+    reuses the exchange — no extra shuffle."""
     banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    keys = banded.groupBy("doc_id", "band").agg(
-        F.concat_ws("|", F.collect_list("minhash")).alias("bucket")
-    ) if band_size > 1 else banded.select(
-        "doc_id", "band", F.col("minhash").alias("bucket")
-    )
+    if band_size > 1:
+        # sort by seed before concat: collect_list order is nondeterministic
+        # under parallel merge, and an unordered band key silently drops
+        # true collisions.
+        keys = banded.groupBy("doc_id", "band").agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("bucket")
+        )
+    else:
+        keys = banded.select("doc_id", "band", F.col("minhash").alias("bucket"))
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        keys = keys.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+            F.col("bsz") <= max_bucket
+        ).drop("bsz")
     a, b = keys.alias("a"), keys.alias("b")
     return (
         a.join(
@@ -84,6 +132,32 @@ def lsh_candidate_pairs(signatures: DataFrame, band_size: int = 1) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
+def lsh_bucket_stats(
+    signatures: DataFrame, band_size: int = 1, min_size: int = 2
+) -> DataFrame:
+    """(band, bucket, size): bucket-occupancy diagnostics — run before a
+    big LSH job to pick ``max_bucket`` and audit what a cap would drop."""
+    banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    keys = (
+        banded.select("doc_id", "band", F.col("minhash").alias("bucket"))
+        if band_size == 1
+        else banded.groupBy("doc_id", "band").agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+                    lambda s: s["minhash"],
+                ),
+            ).alias("bucket")
+        )
+    )
+    return (
+        keys.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .filter(F.col("size") >= min_size)
     )
 
 
@@ -120,24 +194,31 @@ def jaccard_pairs(
 
 def simhash(postings: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, simhash): count-weighted SimHash over md5 term hashes.
-    Input: (doc_id, term, cnt) posting rows."""
+    Input: (doc_id, term, cnt) posting rows.
+
+    Plan: ONE groupBy("doc_id") with ``bits`` conditional sums (map-side
+    partial aggregation shrinks each task's output to one row per doc).
+    An earlier form exploded ``bits`` rows per posting — 60x the posting
+    table through the shuffle plus a second shuffle — for the identical
+    result; at 10^12 files that inflation is the whole job."""
     p = postings.withColumn(
         "h", F.expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)")
     )
-    b = p.select(
-        "doc_id", "cnt", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-    )
-    contrib = F.when(F.expr("(shiftright(h, b) & 1) = 1"), F.col("cnt")).otherwise(
-        -F.col("cnt")
-    )
-    per_bit = b.groupBy("doc_id", "b").agg(F.sum(contrib).alias("s"))
-    bitval = F.when(
-        F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")
-    ).otherwise(F.lit(0).cast("long"))
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(bitval).cast("long").alias("simhash")
-    )
+    contrib = [
+        F.sum(
+            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    per_doc = p.groupBy("doc_id").agg(*contrib)
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(

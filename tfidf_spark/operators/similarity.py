@@ -111,9 +111,22 @@ def knn_join_lsh(
     min_cos: float = -1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(a, b, cos_r): per-vector top-k neighbors among same-bucket
-    candidates — embedding-cosine near-dup at bucket-join cost."""
+    candidates — embedding-cosine near-dup at bucket-join cost.
+
+    ``max_bucket`` guards hot buckets (e.g. the all-zeros embedding, or a
+    hyperplane set that collapses a dense cluster): the self-join is
+    quadratic in bucket size, so buckets above the cap are dropped whole
+    (their members get no neighbors this pass — route them to exact dedup
+    or re-bucket with more planes). The size window partitions on the
+    same key as the join, so the exchange is reused."""
+    if max_bucket is not None:
+        wb = Window.partitionBy("bucket")
+        emb_bucketed = emb_bucketed.withColumn(
+            "bsz", F.count(F.lit(1)).over(wb)
+        ).filter(F.col("bsz") <= max_bucket).drop("bsz")
     a = emb_bucketed.select(
         F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket"
     )
