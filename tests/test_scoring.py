@@ -115,3 +115,31 @@ def test_collection_statistics_golden(spark, tiny_corpus):
         assert r["tf"] == pytest.approx(round(comb / total, 4), abs=1e-12)
         assert r["idf"] == pytest.approx(round(idf, 4), abs=1e-12)
         assert r["tfidf"] == pytest.approx(round(comb / total * idf, 4), abs=1e-12)
+
+
+def test_collection_scoped_tfidf_mn_membership(spark, tiny_corpus):
+    """True M:N scoping: doc 1 belongs to BOTH collections; df/N are
+    per-collection, so the same (doc, term) scores differently in each.
+
+    coll 10 = {1, 2}: df(a)=2, N=2 -> idf(a)=0
+    coll 20 = {1, 3}: df(a)=1, N=2 -> idf(a)=ln 2
+    """
+    from tfidf_spark.operators.scoring import collection_scoped_tfidf
+
+    assoc = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 20), (3, 20)], "doc_id bigint, coll_id bigint"
+    )
+    n_per = assoc.groupBy("coll_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    postings = build_postings(tiny_corpus)
+    out = {
+        (r["coll_id"], r["doc_id"], r["term"]): r["tfidf_r"]
+        for r in collection_scoped_tfidf(postings, assoc, n_per, k=10).collect()
+    }
+    # doc 1: "a a b c", dl=4, tf(a)=0.5
+    assert out[(10, 1, "a")] == pytest.approx(0.0)                 # df=2,N=2
+    assert out[(20, 1, "a")] == pytest.approx(round(0.5 * math.log(2), 6))
+    # term c in coll 20: docs 1 and 3 both have it -> idf 0 for both
+    assert out[(20, 3, "c")] == pytest.approx(0.0)
+    # doc 2 appears only under coll 10; doc 3 only under coll 20
+    assert not any(c == 20 and d == 2 for c, d, _ in out)
+    assert not any(c == 10 and d == 3 for c, d, _ in out)

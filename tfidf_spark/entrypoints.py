@@ -33,6 +33,7 @@ from tfidf_spark.operators.postings import (
 )
 from tfidf_spark.operators.scoring import (
     bm25_weight_expr,
+    collection_scoped_tfidf,
     collection_statistics,
     idf_expr,
     score_tfidf,
@@ -269,6 +270,31 @@ def q_tfidf_scoped(spark, sf_dir):
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
     return sel.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
+
+
+def _doc_collections(docs: DataFrame) -> DataFrame:
+    """Deterministic M:N association table (doc_id, coll_id): every doc
+    belongs to exactly TWO of five collections (pmod(doc_id,3) and
+    3+pmod(n_chars,2)), so collections overlap arbitrarily — the shape of
+    the reference's document_collection table (app/db/models.py:16-21)."""
+    return docs.select(
+        "doc_id", F.pmod(F.col("doc_id"), F.lit(3)).cast("long").alias("coll_id")
+    ).unionAll(
+        docs.select(
+            "doc_id",
+            (F.lit(3) + F.pmod(F.col("n_chars"), F.lit(2))).cast("long").alias("coll_id"),
+        )
+    )
+
+
+def q_tfidf_collection_scoped(spark, sf_dir):
+    """True M:N collection scoping (J2+J3): per-(collection, doc) top-3
+    terms where df and N are computed WITHIN each collection — the same
+    doc scores differently in its two collections."""
+    docs = _t(spark, sf_dir, "documents")
+    assoc = _doc_collections(docs)
+    n_per = assoc.groupBy("coll_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    return collection_scoped_tfidf(_doc_postings(spark, sf_dir), assoc, n_per, k=3)
 
 
 def q_customers_with_orders(spark, sf_dir):
@@ -520,6 +546,7 @@ QUERIES = {
     "token_quality": q_token_quality,
     "lang_id": q_lang_id,
     "tfidf_scoped": q_tfidf_scoped,
+    "tfidf_collection_scoped": q_tfidf_collection_scoped,
     "customers_with_orders": q_customers_with_orders,
     "metrics_full": q_metrics_full,
     "events_json": q_events_json,
@@ -781,6 +808,30 @@ ORACLES = {
           SELECT *, row_number() OVER (
             PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS rn FROM sel)
         WHERE rn <= 5""",
+    "tfidf_collection_scoped": _TOKS + """
+        , assoc AS (
+          SELECT doc_id, ((doc_id % 3) + 3) % 3 AS coll_id FROM documents
+          UNION ALL
+          SELECT doc_id, 3 + ((n_chars % 2) + 2) % 2 AS coll_id FROM documents),
+        np AS (SELECT coll_id, COUNT(*)::DOUBLE AS n FROM assoc GROUP BY 1),
+        pc AS (
+          SELECT a.coll_id, p.doc_id, p.term, p.cnt
+          FROM p JOIN assoc a USING (doc_id)),
+        cdf AS (
+          SELECT coll_id, term, COUNT(*)::BIGINT AS df FROM pc GROUP BY 1, 2),
+        sel AS (
+          SELECT pc.coll_id, pc.doc_id, pc.term, pc.cnt AS frequency,
+                 round((pc.cnt::DOUBLE / dl.dl) * ln(np.n / cdf.df::DOUBLE), 6)
+                   AS tfidf_r
+          FROM pc
+          JOIN dl USING (doc_id)
+          JOIN cdf ON cdf.coll_id = pc.coll_id AND cdf.term = pc.term
+          JOIN np ON np.coll_id = pc.coll_id)
+        SELECT coll_id, doc_id, term, frequency, tfidf_r FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY coll_id, doc_id ORDER BY tfidf_r DESC, term) AS rn
+          FROM sel)
+        WHERE rn <= 3""",
     "customers_with_orders": """
         SELECT c_custkey FROM customer
         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",

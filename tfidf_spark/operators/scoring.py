@@ -146,6 +146,63 @@ def tfidf_topk_per_doc(stats: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def collection_scoped_tfidf(
+    postings: DataFrame,
+    assoc: DataFrame,
+    n_docs_per_coll: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Per-(collection, doc) top-k terms under COLLECTION-scoped tf-idf,
+    with a true M:N association table.
+
+    This is the reference's central scoping join — a document may belong
+    to MANY collections (assoc table document_collection,
+    reference app/db/models.py:16-21), and
+    GET /documents/{id}/tfidf?collection_id= computes df and N within the
+    chosen collection only (the IN-subquery semi-join,
+    reference app/repositories/document.py:216-229). The same document
+    therefore gets DIFFERENT tf-idf vectors per collection.
+
+    Inputs:
+      postings:        (doc_id, term, cnt, dl) — ONE tokenize pass,
+                       reused across all collections
+      assoc:           (doc_id, coll_id) M:N membership rows
+      n_docs_per_coll: (coll_id, n_docs) — every member counts toward N,
+                       including zero-token docs (derive from assoc, not
+                       postings)
+
+    Plan shape at scale: postings ⋈ assoc shuffles on doc_id with a
+    bounded per-doc fan-out (a doc's membership count), df is one
+    groupBy(coll_id, term) with map-side combine, and N_coll joins in
+    broadcast (collection count ≪ doc count). No per-collection rescan —
+    the reference's N+1 loop becomes two shuffles total.
+    """
+    from pyspark.sql.window import Window
+
+    p_coll = postings.join(assoc, "doc_id")
+    cdf = p_coll.groupBy("coll_id", "term").agg(F.count(F.lit(1)).alias("df"))
+    joined = p_coll.join(cdf, ["coll_id", "term"]).join(
+        F.broadcast(n_docs_per_coll), "coll_id"
+    )
+    tf = F.col("cnt").cast("double") / F.col("dl").cast("double")
+    idf = F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+    sel = joined.select(
+        "coll_id",
+        "doc_id",
+        "term",
+        F.col("cnt").cast("long").alias("frequency"),
+        F.round(tf * idf, 6).alias("tfidf_r"),
+    )
+    w = Window.partitionBy("coll_id", "doc_id").orderBy(
+        F.desc("tfidf_r"), F.asc("term")
+    )
+    return (
+        sel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def collection_statistics(
     postings: DataFrame,
     scope_col: str,
