@@ -9,6 +9,7 @@ from hypothesis import strategies as st
 
 from tfidf_spark.index.codec import (
     BLOCK_SIZE,
+    decode_block,
     decode_postings,
     encode_postings,
     merge_encoded_runs,
@@ -58,7 +59,7 @@ def test_unsigned_order_matches_signed():
 def test_postings_roundtrip_property(ids):
     ids = np.array(ids, dtype=np.int64)
     w = (np.arange(len(ids)) % 7 + 1).astype(np.float64)
-    pb, wb, block_last, block_max, n = encode_postings(ids, w)
+    pb, wb, block_last, block_max, block_off, n = encode_postings(ids, w)
     got_ids, got_w = decode_postings(pb, wb)
     order = np.argsort(to_unsigned(ids), kind="stable")
     assert n == len(ids)
@@ -69,13 +70,20 @@ def test_postings_roundtrip_property(ids):
         blk = got_w[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE]
         assert blk.max() <= block_max[i]
         assert block_last[i] == got_ids[min((i + 1) * BLOCK_SIZE, n) - 1]
+    # independent block decode == the matching slice of the full decode
+    assert block_off[0] == 0
+    for i in range(len(block_off)):
+        b_ids, b_w = decode_block(pb, wb, block_last, block_off, i)
+        lo, hi = i * BLOCK_SIZE, min((i + 1) * BLOCK_SIZE, n)
+        assert np.array_equal(b_ids, got_ids[lo:hi])
+        assert np.array_equal(b_w, got_w[lo:hi])
 
 
 @pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 10_000])
 def test_postings_block_boundaries(n):
     ids = np.arange(n, dtype=np.int64) * 3 - n  # mixed sign, sorted
     w = np.random.default_rng(42).random(n)
-    pb, wb, block_last, block_max, cnt = encode_postings(ids, w)
+    pb, wb, block_last, block_max, block_off, cnt = encode_postings(ids, w)
     assert cnt == n
     assert len(block_last) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     got_ids, got_w = decode_postings(pb, wb)
@@ -98,7 +106,7 @@ def test_merge_encoded_runs():
         sel = np.arange(500) % 4 == part
         pb, wb, *_ = encode_postings(all_ids[sel], w[sel])
         runs.append((pb, wb))
-    pb, wb, block_last, block_max, n = merge_encoded_runs(runs)
+    pb, wb, block_last, block_max, block_off, n = merge_encoded_runs(runs)
     got_ids, got_w = decode_postings(pb, wb)
     order = np.argsort(to_unsigned(all_ids), kind="stable")
     assert n == 500

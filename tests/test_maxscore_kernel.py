@@ -22,7 +22,7 @@ from tfidf_spark.index.query import _topk_shard
 def _make_pdf(term_lists: list[tuple[float, np.ndarray, np.ndarray]], k: int):
     rows = []
     for i, (mult, ids, ws) in enumerate(term_lists):
-        pb, wb, block_last, block_max, n = encode_postings(ids, ws)
+        pb, wb, block_last, block_max, block_off, n = encode_postings(ids, ws)
         rows.append(
             {
                 "query_id": 1,
@@ -32,7 +32,9 @@ def _make_pdf(term_lists: list[tuple[float, np.ndarray, np.ndarray]], k: int):
                 "shard": 0,
                 "postings": pb,
                 "weights": wb,
+                "block_last": block_last,
                 "block_max": block_max,
+                "block_off": block_off,
             }
         )
     return pd.DataFrame(rows)
@@ -87,6 +89,27 @@ def test_kernel_skewed_long_lists():
     expect = _brute(lists, 10)
     assert got["doc_id"].tolist() == [d for d, _ in expect]
     np.testing.assert_allclose(got["score"].to_numpy(), [s for _, s in expect], rtol=1e-9)
+
+
+def test_lazy_decode_skips_most_bytes():
+    """The point of block_off: in the stop-list regime the kernel must
+    skip DECODING (not just scoring) almost all of the long list. Here
+    the rare list drives θ so high the stop list is non-essential — only
+    its candidate-bearing blocks (≤ 50 of ~780) are ever varint-decoded."""
+    from tfidf_spark.index.query import DECODE_STATS
+
+    rng = np.random.default_rng(0)
+    stop_ids = np.sort(rng.choice(10**7, size=100_000, replace=False)).astype(np.int64)
+    stop_ws = rng.random(100_000) * 0.2 + 0.01
+    rare_ids = rng.choice(stop_ids, size=50, replace=False)
+    rare_ws = rng.random(50) * 2 + 1.0
+    lists = [(0.3, stop_ids, stop_ws), (4.0, rare_ids, rare_ws)]
+    DECODE_STATS["bytes_decoded"] = DECODE_STATS["bytes_total"] = 0
+    got = _topk_shard(_make_pdf(lists, 10))
+    expect = _brute(lists, 10)
+    assert got["doc_id"].tolist() == [d for d, _ in expect]
+    assert DECODE_STATS["bytes_total"] > 100_000  # the stop list is real
+    assert DECODE_STATS["bytes_decoded"] < 0.15 * DECODE_STATS["bytes_total"]
 
 
 def test_kernel_duplicate_free_and_sorted():

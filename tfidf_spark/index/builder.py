@@ -74,6 +74,7 @@ INDEX_SCHEMA = StructType(
         StructField("weights", BinaryType()),
         StructField("block_last", ArrayType(LongType())),
         StructField("block_max", ArrayType(DoubleType())),
+        StructField("block_off", ArrayType(LongType())),
     ]
 )
 
@@ -92,7 +93,7 @@ def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFr
     out = {k.name: [] for k in INDEX_SCHEMA.fields}
     for i in range(len(starts)):
         lo, hi = int(bounds[i]), int(bounds[i + 1])
-        pb, wb, block_last, block_max, n = encode_postings(
+        pb, wb, block_last, block_max, block_off, n = encode_postings(
             ids[lo:hi], ws[lo:hi], presorted=True
         )
         out["term"].append(terms[lo])
@@ -102,6 +103,7 @@ def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFr
         out["weights"].append(wb)
         out["block_last"].append(block_last)
         out["block_max"].append(block_max)
+        out["block_off"].append(block_off)
     return pd.DataFrame(out)
 
 

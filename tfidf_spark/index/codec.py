@@ -75,12 +75,20 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray, presorted: bool = 
     """Encode one term's (sub-)posting list.
 
     doc_ids: signed int64 (any order); weights: float64 aligned with ids.
-    Returns (postings_bytes, weights_bytes, block_last, block_max, n):
+    Returns (postings_bytes, weights_bytes, block_last, block_max,
+    block_off, n):
       postings_bytes — varint(first_u, gap, gap, ...)
       weights_bytes  — float64 LE, sorted-docID order
       block_last     — last signed docID per BLOCK_SIZE block (skip index)
       block_max      — max weight per block (block-max metadata; the
                        query-time upper bound is idf * block_max)
+      block_off      — byte offset of each block's first varint in
+                       postings_bytes. Together with block_last this makes
+                       every block INDEPENDENTLY decodable (the gap base
+                       of block i is block_last[i-1]), which is what lets
+                       the query kernel skip decoding non-qualifying
+                       blocks entirely — for a stop-like term at corpus
+                       scale, eager decode IS the query cost.
     """
     ids = np.asarray(doc_ids, dtype=np.int64)
     w = np.asarray(weights, dtype=np.float64)
@@ -98,7 +106,15 @@ def encode_postings(doc_ids: np.ndarray, weights: np.ndarray, presorted: bool = 
     n_blocks = (u.size + BLOCK_SIZE - 1) // BLOCK_SIZE
     block_last = [int(ids[min((i + 1) * BLOCK_SIZE, u.size) - 1]) for i in range(n_blocks)]
     block_max = [float(w[i * BLOCK_SIZE : (i + 1) * BLOCK_SIZE].max()) for i in range(n_blocks)]
-    return varint_encode(gaps), w.tobytes(), block_last, block_max, int(u.size)
+    if n_blocks:
+        nb = np.ones(gaps.size, dtype=np.int64)
+        for t in _THRESHOLDS:
+            nb += (gaps >= t).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(nb)[:-1]])
+        block_off = [int(starts[i * BLOCK_SIZE]) for i in range(n_blocks)]
+    else:
+        block_off = []
+    return varint_encode(gaps), w.tobytes(), block_last, block_max, block_off, int(u.size)
 
 
 def decode_postings(postings_bytes: bytes, weights_bytes: bytes):
@@ -106,6 +122,30 @@ def decode_postings(postings_bytes: bytes, weights_bytes: bytes):
     gaps = varint_decode(postings_bytes)
     u = np.cumsum(gaps, dtype=np.uint64)
     return to_signed(u), np.frombuffer(weights_bytes, dtype=np.float64)
+
+
+def decode_block(
+    postings_bytes: bytes,
+    weights_bytes: bytes,
+    block_last: np.ndarray,
+    block_off: np.ndarray,
+    i: int,
+):
+    """Decode ONLY block ``i`` -> (ids, w). Reads just that block's byte
+    slice; the gap base is block_last[i-1] (or 0 for the first block)."""
+    lo = int(block_off[i])
+    hi = int(block_off[i + 1]) if i + 1 < len(block_off) else len(postings_bytes)
+    gaps = varint_decode(postings_bytes[lo:hi])
+    base = (
+        to_unsigned(np.asarray([block_last[i - 1]], dtype=np.int64))[0]
+        if i > 0
+        else np.uint64(0)
+    )
+    u = base + np.cumsum(gaps, dtype=np.uint64)
+    w = np.frombuffer(
+        weights_bytes, dtype=np.float64, count=gaps.size, offset=i * BLOCK_SIZE * 8
+    )
+    return to_signed(u), w
 
 
 def merge_encoded_runs(runs: list[tuple[bytes, bytes]]):

@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from tfidf_spark.index.builder import IndexHandle
-from tfidf_spark.index.codec import BLOCK_SIZE, decode_postings
+from tfidf_spark.index.codec import decode_block, decode_postings
 
 _KERNEL_SCHEMA = StructType(
     [
@@ -54,16 +54,66 @@ _KERNEL_SCHEMA = StructType(
     ]
 )
 
+# Decode accounting, meaningful when the kernel runs in-process (the
+# local fast path / tests): bytes actually varint-decoded vs the bytes an
+# eager decoder would have touched. On executors each Python worker has
+# its own copy — treat it as diagnostics, not a metric aggregation.
+DECODE_STATS = {"bytes_decoded": 0, "bytes_total": 0}
 
-def _score_candidates(cand: np.ndarray, lists) -> np.ndarray:
-    """Exact scores for sorted candidate docIDs across all lists."""
-    scores = np.zeros(cand.size, dtype=np.float64)
-    for mult, ids, w, _ in lists:
-        pos = np.searchsorted(ids, cand)
-        pos_c = np.minimum(pos, ids.size - 1)
-        hit = (pos < ids.size) & (ids[pos_c] == cand)
-        scores[hit] += mult * w[pos_c[hit]]
-    return scores
+
+class _LazyList:
+    """One (term, shard) posting run, decoded block-by-block on demand.
+
+    Lazy decode is the point of the block-max layout: for a stop-like
+    term at corpus scale the run is most of the shard, and a top-k query
+    usually needs only the blocks that (a) contain a candidate from a
+    rarer list or (b) beat the score threshold θ. Everything else is
+    never even varint-decoded — the bytes are skipped via block_off.
+    Signed docID order == sign-flipped unsigned order (codec invariant),
+    so plain signed searchsorted is valid everywhere below.
+    """
+
+    __slots__ = ("mult", "pb", "wb", "bl", "bm", "off", "n_blocks", "_cache")
+
+    def __init__(self, mult, pb, wb, block_last, block_max, block_off):
+        self.mult = float(mult)
+        self.pb = pb
+        self.wb = wb
+        self.bl = np.asarray(block_last, dtype=np.int64)
+        self.bm = np.asarray(block_max, dtype=np.float64)
+        self.off = np.asarray(block_off, dtype=np.int64)
+        self.n_blocks = self.bl.size
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        DECODE_STATS["bytes_total"] += len(pb)
+
+    def block(self, i: int):
+        got = self._cache.get(i)
+        if got is None:
+            got = decode_block(self.pb, self.wb, self.bl, self.off, i)
+            self._cache[i] = got
+            hi = int(self.off[i + 1]) if i + 1 < self.n_blocks else len(self.pb)
+            DECODE_STATS["bytes_decoded"] += hi - int(self.off[i])
+        return got
+
+    def decode_all(self):
+        DECODE_STATS["bytes_decoded"] += len(self.pb)
+        return decode_postings(self.pb, self.wb)
+
+    def add_scores(self, cand: np.ndarray, out: np.ndarray) -> None:
+        """out[j] += mult * weight(cand[j]) for every cand[j] present in
+        this list. Decodes ONLY the blocks that could contain a candidate
+        (block b holds ids in (block_last[b-1], block_last[b]])."""
+        if not self.n_blocks or not cand.size:
+            return
+        blk = np.searchsorted(self.bl, cand, side="left")
+        inrange = blk < self.n_blocks
+        for b in np.unique(blk[inrange]):
+            sel = np.flatnonzero(blk == b)
+            ids, w = self.block(int(b))
+            pos = np.searchsorted(ids, cand[sel])
+            pos_c = np.minimum(pos, ids.size - 1)
+            hit = (pos < ids.size) & (ids[pos_c] == cand[sel])
+            out[sel[hit]] += self.mult * w[pos_c[hit]]
 
 
 def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -71,21 +121,33 @@ def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     k = int(pdf["k"].iloc[0])
     lists = []
     for row in pdf.itertuples(index=False):
-        ids, w = decode_postings(row.postings, row.weights)
-        if ids.size:
-            bm = np.asarray(row.block_max, dtype=np.float64)
-            lists.append((float(row.mult), ids, w, bm))
+        L = _LazyList(
+            row.mult,
+            bytes(row.postings),
+            bytes(row.weights),
+            row.block_last,
+            row.block_max,
+            row.block_off,
+        )
+        if L.n_blocks:
+            lists.append(L)
     if not lists:
         return pd.DataFrame(columns=["query_id", "k", "doc_id", "score"]).astype(
             {"query_id": "int64", "k": "int32", "doc_id": "int64", "score": "float64"}
         )
     # negative-idf (df == N) terms still contribute; upper bound uses max(.,0)
-    lists.sort(key=lambda t: -(t[0] * float(t[3].max())))
-    U = np.array([max(mult * float(bm.max()), 0.0) for mult, _, _, bm in lists])
+    lists.sort(key=lambda L: -(L.mult * float(L.bm.max())))
+    U = np.array([max(L.mult * float(L.bm.max()), 0.0) for L in lists])
 
-    # pass 1: all docs of the top list, fully scored
-    cand0 = lists[0][1]
-    s0 = _score_candidates(cand0, lists)
+    # pass 1: all docs of the top-bound list (typically the rarest term —
+    # hot stop-like terms have low idf and land at the tail), fully
+    # scored. Own-list contributions come straight from the decoded
+    # weights; other lists decode only candidate-bearing blocks.
+    top = lists[0]
+    cand0, w0 = top.decode_all()
+    s0 = top.mult * w0
+    for L in lists[1:]:
+        L.add_scores(cand0, s0)
     if cand0.size > k:
         theta = np.partition(s0, cand0.size - k)[cand0.size - k]
     else:
@@ -102,16 +164,14 @@ def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
 
     extra_parts = []
     for t in range(1, n_essential):
-        mult, ids, w, bm = lists[t]
+        L = lists[t]
         rest = U.sum() - U[t]
         # clamp like U: if mult were ever negative (df > n_docs from stats
         # drift) the unclamped product is NOT an upper bound and pruning
         # would turn unsound.
-        keep_block = (np.maximum(mult * bm, 0.0) + rest) >= theta
-        if not keep_block.all():
-            keep = np.repeat(keep_block, BLOCK_SIZE)[: ids.size]
-            ids = ids[keep]
-        if ids.size:
+        keep_block = (np.maximum(L.mult * L.bm, 0.0) + rest) >= theta
+        for b in np.flatnonzero(keep_block):
+            ids, _ = L.block(int(b))
             extra_parts.append(ids)
     if extra_parts:
         extra = np.unique(np.concatenate(extra_parts))
@@ -123,7 +183,11 @@ def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
             else extra
         )
         if fresh.size:
-            s_extra = _score_candidates(fresh, lists)
+            # a fresh candidate is by definition absent from the top list
+            # (cand0 IS that list), so only lists[1:] can contribute
+            s_extra = np.zeros(fresh.size, dtype=np.float64)
+            for L in lists[1:]:
+                L.add_scores(fresh, s_extra)
             all_ids = np.concatenate([cand0, fresh])
             all_s = np.concatenate([s0, s_extra])
         else:
@@ -200,7 +264,8 @@ def bm25_query_index(
     )
 
     rows = tp.join(F.broadcast(q_with_mult), "term", "inner").select(
-        "query_id", "k", "term", "mult", "shard", "postings", "weights", "block_max"
+        "query_id", "k", "term", "mult", "shard",
+        "postings", "weights", "block_last", "block_max", "block_off",
     )
     per_shard = rows.groupBy("query_id", "shard").applyInPandas(
         _topk_shard, _KERNEL_SCHEMA
@@ -273,7 +338,10 @@ def bm25_query_terms_local(
         return [(int(r["doc_id"]), float(r["score"])) for r in out]
     rows = (
         index.term_postings.filter(F.col("term").isin(distinct))
-        .select("term", "shard", "df_shard", "postings", "weights", "block_max")
+        .select(
+            "term", "shard", "df_shard",
+            "postings", "weights", "block_last", "block_max", "block_off",
+        )
         .collect()
     )
     if not rows:
@@ -298,7 +366,9 @@ def bm25_query_terms_local(
             "shard": [r["shard"] for r in rows],
             "postings": [bytes(r["postings"]) for r in rows],
             "weights": [bytes(r["weights"]) for r in rows],
+            "block_last": [r["block_last"] for r in rows],
             "block_max": [r["block_max"] for r in rows],
+            "block_off": [r["block_off"] for r in rows],
         }
     )
     out = _topk_shard(pdf)
