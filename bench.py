@@ -78,6 +78,14 @@ def main():
         n_results = bm25_query_index(idx, qdf).count()
         timings["index_query_batch50"] = round(time.perf_counter() - t0, 3)
 
+        # large-batch path: shuffle join instead of a driver IN-list —
+        # the shape that scales past driver-collected term sets
+        big = reference_queries(200)
+        bigdf = spark.createDataFrame(big, "query_id long, terms array<string>, k int")
+        t0 = time.perf_counter()
+        bm25_query_index(idx, bigdf, prune_by_collect=False).count()
+        timings["index_query_batch200_join"] = round(time.perf_counter() - t0, 3)
+
         from tfidf_spark.index.query import bm25_query_terms_local
 
         lat = []

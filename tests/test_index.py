@@ -127,6 +127,31 @@ def test_local_fast_path_matches_distributed(spark, tiny_corpus, tiny_index, ter
         assert a == pytest.approx(b, rel=1e-9)
 
 
+def test_batch_shuffle_join_path_matches_collect_path(spark, tiny_index):
+    """prune_by_collect=False (shuffle join, for query batches too large
+    for a driver IN-list) must return exactly what the collect-pruned
+    path returns."""
+    out, _ = tiny_index
+    idx = load_index(spark, out)
+    batch = [
+        (0, ["a", "c"], 10),
+        (1, ["b"], 2),
+        (2, ["a", "a", "b"], 3),
+        (3, ["zzz"], 5),
+    ]
+    qdf = spark.createDataFrame(batch, "query_id long, terms array<string>, k int")
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+            for r in df.collect()
+        )
+
+    assert rows(bm25_query_index(idx, qdf, prune_by_collect=False)) == rows(
+        bm25_query_index(idx, qdf, prune_by_collect=True)
+    )
+
+
 def test_local_fast_path_df_budget_fallback(spark, tiny_corpus, tiny_index):
     """df_budget=0 forces every term over budget: the fast path must
     delegate to the distributed kernel and return identical results —
