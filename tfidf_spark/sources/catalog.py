@@ -15,8 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True when an iceberg-spark-runtime jar is actually loadable.
+
+    NOTE: ``spark._jvm.org.apache.iceberg.Table`` is NOT a valid probe —
+    py4j resolves unknown dotted names to lazy JavaPackage objects and
+    never raises. Ask the driver's context classloader (which includes
+    --jars / spark.jars.packages) to load the class for real."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        loader = spark._jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        loader.loadClass("org.apache.iceberg.Table")
         return True
     except Exception:
         return False
@@ -39,6 +46,13 @@ def load_corpus(
     if fmt == "auto":
         fmt = "iceberg" if ("/" not in source and iceberg_available(spark)) else "parquet"
     if fmt == "iceberg":
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "Iceberg requested but no iceberg-spark-runtime jar is on "
+                "the session classpath (pass --jars / spark.jars.packages "
+                "org.apache.iceberg:iceberg-spark-runtime-*). This sandbox "
+                "ships no such jar; use fmt='parquet' with versioned paths."
+            )
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))

@@ -31,13 +31,19 @@ def main() -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build the inverted index")
-    b.add_argument("--corpus", required=True, help="parquet path of the corpus")
+    b.add_argument("--corpus", required=True, help="corpus parquet path or Iceberg table name")
     b.add_argument("--out", required=True, help="output index directory")
+    b.add_argument("--format", default="auto", choices=["auto", "parquet", "iceberg"])
     b.add_argument("--text-col", default="content")
     b.add_argument("--id-col", default=None, help="existing doc id column; derived from repo/path/commit when absent")
     b.add_argument("--n-shards", type=int, default=16)
     b.add_argument("--code-aware", action="store_true")
-    b.add_argument("--snapshot", default=None, help="source snapshot/version id for resume fingerprinting")
+    b.add_argument(
+        "--snapshot",
+        default=None,
+        help="Iceberg snapshot id to pin; the resume fingerprint defaults "
+        "to load_corpus's source fingerprint (table@snapshot or path)",
+    )
     b.add_argument("--resume", action="store_true")
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
@@ -63,8 +69,14 @@ def main() -> None:
         from pyspark.sql import functions as F
 
         from tfidf_spark.index.builder import build_index
+        from tfidf_spark.sources.catalog import load_corpus
 
-        docs = spark.read.parquet(args.corpus)
+        snapshot_id = int(args.snapshot) if (
+            args.snapshot is not None and str(args.snapshot).isdigit()
+        ) else None
+        docs, fingerprint = load_corpus(
+            spark, args.corpus, fmt=args.format, snapshot_id=snapshot_id
+        )
         id_col = args.id_col
         if id_col is None:
             if "doc_id" in docs.columns:
@@ -81,9 +93,13 @@ def main() -> None:
             id_col=id_col,
             n_shards=args.n_shards,
             code_aware=args.code_aware,
-            source_snapshot=args.snapshot,
+            # explicit non-numeric --snapshot wins (external version tag);
+            # otherwise the source fingerprint (iceberg:table@snapshot or
+            # parquet:path) keys the resume checkpoints
+            source_snapshot=args.snapshot or fingerprint,
             resume=args.resume,
         )
+        manifest["source_fingerprint"] = fingerprint
         print(json.dumps(manifest))
     else:
         from tfidf_spark.index.builder import load_index
