@@ -227,21 +227,27 @@ def build_index(
         markers.select(
             "doc_id", "dl", F.col("cnt").cast("long").alias("n_unique")
         ).write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
-        # per-posting count per doc == n_unique (one row per distinct term)
+        # per-posting count per doc == n_unique (one row per distinct term).
+        # dl_sum folds the corpus-stats job into this write: N and avgdl
+        # then come from the tiny lineage table instead of a separate
+        # full doc_stats aggregation job (a fixed per-build driver cost
+        # that the N->4N scaling criterion would otherwise carry).
         markers.groupBy("part_id").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("cnt").alias("n_postings"),
+            F.sum("dl").alias("dl_sum"),
         ).withColumn("stage", F.lit("postings")).write.mode("overwrite").parquet(
             f"{out_dir}/_lineage/partitions"
         )
 
     ckpt.run("doc_stats", _doc_stats)
     cs = (
-        spark.read.parquet(f"{out_dir}/doc_stats")
-        .agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+        spark.read.parquet(f"{out_dir}/_lineage/partitions")
+        .agg(F.sum("n_docs").alias("n"), F.sum("dl_sum").alias("dl_sum"))
         .collect()[0]
     )
-    n_docs, avgdl = int(cs["n"]), float(cs["avgdl"] or 0.0)
+    n_docs = int(cs["n"] or 0)
+    avgdl = float(cs["dl_sum"] or 0.0) / n_docs if n_docs else 0.0
     if avgdl_override is not None:
         # incremental maintenance pins the ORIGINAL avgdl so stored
         # weights stay mutually consistent across increments (see
@@ -283,16 +289,20 @@ def build_index(
     tp = spark.read.parquet(f"{out_dir}/term_postings")
 
     def _term_stats():
-        tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/term_stats")
+        # bytes ride along so the manifest totals come from the tiny
+        # term_stats table — one term_postings scan, not two
+        tp.groupBy("term").agg(
+            F.sum("df_shard").alias("df"),
+            F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
+        ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     ckpt.run("term_stats", _term_stats)
 
-    stats = tp.agg(
-        F.sum("df_shard").alias("n_postings"),
-        F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
-    ).collect()[0]
+    stats = (
+        spark.read.parquet(f"{out_dir}/term_stats")
+        .agg(F.sum("df").alias("n_postings"), F.sum("bytes").alias("bytes"))
+        .collect()[0]
+    )
     manifest = {
         "n_docs": n_docs,
         "avgdl": avgdl,

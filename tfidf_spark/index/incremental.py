@@ -104,9 +104,10 @@ def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
     n_docs = spark.read.parquet(f"{out_dir}/doc_stats").count()
 
     tp = spark.read.parquet(f"{out_dir}/term_postings")
-    tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/term_stats")
+    tp.groupBy("term").agg(
+        F.sum("df_shard").alias("df"),
+        F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     manifest = dict(index.manifest)
     manifest.update({"n_docs": n_docs, "tombstones_compacted": index.n_tombstones})
@@ -217,9 +218,10 @@ def compact_index(
         f"{out_dir}/doc_stats"
     )
     tp = spark.read.parquet(f"{out_dir}/term_postings")
-    tp.groupBy("term").agg(F.sum("df_shard").alias("df")).write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/term_stats")
+    tp.groupBy("term").agg(
+        F.sum("df_shard").alias("df"),
+        F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
+    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     # carry tombstones forward: the merged snapshot must keep filtering
     # docs deleted from the base, or they silently reappear in results.
@@ -227,10 +229,11 @@ def compact_index(
     if n_carried:
         index.tombstones.write.mode("overwrite").parquet(f"{out_dir}/tombstones")
 
-    stats = tp.agg(
-        F.sum("df_shard").alias("n_postings"),
-        F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
-    ).collect()[0]
+    stats = (
+        spark.read.parquet(f"{out_dir}/term_stats")
+        .agg(F.sum("df").alias("n_postings"), F.sum("bytes").alias("bytes"))
+        .collect()[0]
+    )
     manifest = dict(index.manifest)
     manifest.update(
         {

@@ -28,7 +28,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(os.environ.get("SCALING_DOCS", "240000"))
+N_DOCS = int(os.environ.get("SCALING_DOCS", "2000000"))
+N_WINDOWS = int(os.environ.get("SCALING_WINDOWS", "3"))
 N_SHARDS = 16
 # N -> 4N parallelism levels. This VM reports 32 CPUs but pure-CPU
 # calibration (see calibrate()) shows all-core throughput saturates well
@@ -138,6 +139,23 @@ def child(cpus: int, corpus_dir: str) -> None:
         spark.stop()
 
 
+def _run_child(cpus: int, corpus_dir: str) -> dict:
+    # Pin the whole child (JVM + Python workers + background thread
+    # pools) to exactly `cpus` cores: local[N] alone only caps task
+    # slots — GC, shuffle IO, and Arrow threads would still use all
+    # host cores and subsidize the small config.
+    proc = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}",
+         sys.executable, __file__, "--child", str(cpus), corpus_dir],
+        capture_output=True, text=True, timeout=3600,
+    )
+    line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
+    if not line:
+        print(proc.stdout[-3000:], proc.stderr[-3000:])
+        raise RuntimeError(f"child {cpus} failed")
+    return json.loads(line[-1][len("CHILD_RESULT "):])
+
+
 def orchestrate() -> None:
     from tfidf_spark.session import get_spark
     from tfidf_spark.sources.corpus import synth_corpus, with_doc_id
@@ -145,7 +163,7 @@ def orchestrate() -> None:
     corpus_dir = tempfile.mkdtemp(prefix="scalecorpus_", dir=_FAST_TMP)
     spark = get_spark(app_name="scaling-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
-    with_doc_id(synth_corpus(spark, N_DOCS, partitions=128)).write.mode(
+    with_doc_id(synth_corpus(spark, N_DOCS, partitions=256)).write.mode(
         "overwrite"
     ).parquet(corpus_dir)
     n_bytes = sum(
@@ -156,50 +174,59 @@ def orchestrate() -> None:
     spark.stop()
 
     # The host is noisy (pure-CPU calibration swings ~30% between minutes;
-    # identical Spark stages vary 2x). Protocol: interleave the levels over
-    # N_ROUNDS rounds and keep each level's FASTEST run — the minimum wall
-    # is the least noise-contaminated sample of the job's true cost — and
-    # keep the best calibration the same way.
-    n_rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
-    best_calib: dict[int, float] = {}
-    results: dict[int, dict] = {}
+    # identical Spark stages vary). Protocol: N_WINDOWS independent
+    # measurement windows; each window runs the calibration and every
+    # level once (SCALING_ROUNDS>1 interleaves rounds inside a window and
+    # keeps the per-level minimum — the least noise-contaminated sample).
+    # The criterion is the MEDIAN raw efficiency across windows.
+    n_rounds = int(os.environ.get("SCALING_ROUNDS", "1"))
+    windows: list[dict] = []
     try:
-        for rnd in range(n_rounds):
-            for k, v in calibrate().items():
-                best_calib[k] = max(best_calib.get(k, 0.0), v)
-            for cpus in (*LEVELS, SUPPLEMENTARY):
-                # Pin the whole child (JVM + Python workers + background
-                # thread pools) to exactly `cpus` cores: local[N] alone
-                # only caps task slots — GC, shuffle IO, and Arrow threads
-                # would still use all host cores and subsidize the small
-                # config.
-                proc = subprocess.run(
-                    ["taskset", "-c", f"0-{cpus - 1}",
-                     sys.executable, __file__, "--child", str(cpus), corpus_dir],
-                    capture_output=True, text=True, timeout=3600,
-                )
-                line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD_RESULT ")]
-                if not line:
-                    print(proc.stdout[-3000:], proc.stderr[-3000:])
-                    raise RuntimeError(f"child {cpus} failed")
-                r = json.loads(line[-1][len("CHILD_RESULT "):])
-                print(f"round {rnd} local[{cpus}]: build {r['build_sec']}s "
-                      f"({r['files_per_sec']} f/s) query50 {r['query50_sec']}s")
-                if cpus not in results or r["build_sec"] < results[cpus]["build_sec"]:
-                    results[cpus] = r
-        calib = best_calib
-        print(f"best pure-CPU calibration (M ops/s): {calib}")
-        for cpus in (*LEVELS, SUPPLEMENTARY):
-            print(f"best local[{cpus}]: {results[cpus]}")
+        for wnd in range(N_WINDOWS):
+            calib: dict[int, float] = {}
+            results: dict[int, dict] = {}
+            for rnd in range(n_rounds):
+                for k, v in calibrate().items():
+                    calib[k] = max(calib.get(k, 0.0), v)
+                for cpus in (*LEVELS, SUPPLEMENTARY):
+                    r = _run_child(cpus, corpus_dir)
+                    print(f"window {wnd} round {rnd} local[{cpus}]: "
+                          f"build {r['build_sec']}s ({r['files_per_sec']} f/s) "
+                          f"query50 {r['query50_sec']}s", flush=True)
+                    if cpus not in results or r["build_sec"] < results[cpus]["build_sec"]:
+                        results[cpus] = r
+            a, b = results[LEVELS[0]], results[LEVELS[1]]
+            eff = b["files_per_sec"] / (4 * a["files_per_sec"])
+            windows.append({"calib": calib, "results": results, "eff": eff})
+            print(f"window {wnd}: efficiency {eff:.3f} "
+                  f"(calib ceiling {calib[LEVELS[1]] / (4 * calib[LEVELS[0]]):.2f})",
+                  flush=True)
     finally:
         shutil.rmtree(corpus_dir, ignore_errors=True)
+        for d in os.listdir(_FAST_TMP or "/tmp"):
+            if d.startswith("spark-local-"):
+                shutil.rmtree(os.path.join(_FAST_TMP, d), ignore_errors=True)
 
-    a, b = results[LEVELS[0]], results[LEVELS[1]]
-    s = results[SUPPLEMENTARY]
-    eff = b["files_per_sec"] / (4 * a["files_per_sec"])
+    effs = sorted(w["eff"] for w in windows)
+    median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    )
+    best = max(windows, key=lambda w: w["eff"])
+    a, b = best["results"][LEVELS[0]], best["results"][LEVELS[1]]
+    s = best["results"][SUPPLEMENTARY]
+    calib = best["calib"]
     hw_ceiling = calib[LEVELS[1]] / (4 * calib[LEVELS[0]])
     hw_ceiling32 = calib[SUPPLEMENTARY] / (4 * calib[LEVELS[1]])
     eff32 = s["files_per_sec"] / (4 * b["files_per_sec"])
+
+    win_rows = "\n".join(
+        f"| {i} | {w['calib'][LEVELS[0]]:.0f} / {w['calib'][LEVELS[1]]:.0f} "
+        f"(ceiling {w['calib'][LEVELS[1]] / (4 * w['calib'][LEVELS[0]]):.2f}) "
+        f"| {w['results'][LEVELS[0]]['files_per_sec']:,} "
+        f"| {w['results'][LEVELS[1]]['files_per_sec']:,} "
+        f"| **{w['eff']:.3f}** |"
+        for i, w in enumerate(windows)
+    )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N -> 4N cores)
@@ -208,29 +235,41 @@ Protocol (BASELINE.md): same index-build + 50-query job, same
 pre-materialized parquet corpus, identical confs apart from master and
 proportional `spark.sql.shuffle.partitions` / file-split sizes. Sharding
 held fixed (n_shards={N_SHARDS}). Python workers + codegen warmed before
-timing (steady-state regime of a long cluster job).
+timing (steady-state regime of a long cluster job). Each child is
+`taskset`-pinned to exactly N cores; all I/O on tmpfs. Corpus sized so
+per-build fixed driver costs are <1% of the 4N wall ({N_DOCS:,} docs —
+round 1 measured at 240k docs where they were ~3%; the remaining fixed
+jobs were also folded into stage writes, builder.py).
 
 ## Hardware calibration (pure-CPU multiprocessing, no Spark)
 
-This VM reports 32 CPUs, but measured all-core throughput saturates:
-{json.dumps(calib)} M ops/s at {list(calib)} workers. The 8->32 pair has a
-HARDWARE scaling ceiling of {hw_ceiling32:.2f} (frequency scaling / host
-steal) — no job can evidence >=0.8 there. The N=2 -> 4N=8 pair sits in
-the linear region (ceiling {hw_ceiling:.2f}) and is used for the
-criterion; 32-core numbers are reported as supplementary.
+This VM reports 32 CPUs, but measured all-core throughput saturates well
+below 4x from 8->32 workers (frequency scaling / host steal): ceiling
+{hw_ceiling32:.2f} in the best window — no job can evidence >=0.8 there.
+The N=2 -> 4N=8 pair sits in the calibration's linear region (ceiling
+{hw_ceiling:.2f} best window) and is the honest N->4N substitute;
+32-core numbers are supplementary. Calibration re-runs inside every
+window because host throughput drifts between minutes.
 
 Corpus: {N_DOCS:,} synthetic source-code docs ({n_bytes/1e6:.1f} MB parquet),
 {a['postings']:,} postings, {a['bytes_compressed']/1e6:.1f} MB compressed index.
+
+## Measurement windows (independent exclusive runs)
+
+| window | calib M ops/s 2 / 8 cores | local[2] f/s | local[8] f/s | efficiency |
+|---|---|---|---|---|
+{win_rows}
+
+**Median raw N -> 4N scaling efficiency across {len(windows)} windows:
+{median_eff:.3f}** (required >= 0.8: {"PASS" if median_eff >= 0.8 else "FAIL"})
+
+## Best window detail
 
 | config | build wall (s) | files/sec | 50-query batch (s) |
 |---|---|---|---|
 | local[{LEVELS[0]}] (N) | {a['build_sec']} | {a['files_per_sec']} | {a['query50_sec']} |
 | local[{LEVELS[1]}] (4N) | {b['build_sec']} | {b['files_per_sec']} | {b['query50_sec']} |
 | local[{SUPPLEMENTARY}] (supplementary) | {s['build_sec']} | {s['files_per_sec']} | {s['query50_sec']} |
-
-**Scaling efficiency (N -> 4N) = {b['files_per_sec']} / (4 x
-{a['files_per_sec']}) = {eff:.3f}** (required >= 0.8:
-{"PASS" if eff >= 0.8 else "FAIL"}; hardware ceiling {hw_ceiling:.2f})
 
 Supplementary 8 -> 32: {eff32:.3f} (hardware ceiling {hw_ceiling32:.2f} —
 efficiency relative to ceiling: {eff32 / hw_ceiling32:.2f})
@@ -239,7 +278,8 @@ Stage walls at local[{LEVELS[0]}]: {json.dumps(a['stage_walls'])}
 Stage walls at local[{LEVELS[1]}]: {json.dumps(b['stage_walls'])}
 Stage walls at local[{SUPPLEMENTARY}]: {json.dumps(s['stage_walls'])}
 """)
-    print(f"\nefficiency={eff:.3f} (hw ceiling {hw_ceiling:.2f}) -> BENCH/BASELINE.md")
+    print(f"\nmedian efficiency={median_eff:.3f} across {len(windows)} windows "
+          f"-> BENCH/BASELINE.md")
 
 
 if __name__ == "__main__":
