@@ -112,6 +112,23 @@ def test_lazy_decode_skips_most_bytes():
     assert DECODE_STATS["bytes_decoded"] < 0.15 * DECODE_STATS["bytes_total"]
 
 
+def test_single_list_query_decodes_only_winner_blocks():
+    """A lone stop-like term: ranking comes from the weights buffer, so
+    only the top-k docs' blocks get varint-decoded."""
+    from tfidf_spark.index.query import DECODE_STATS
+
+    rng = np.random.default_rng(3)
+    ids = np.sort(rng.choice(10**7, size=50_000, replace=False)).astype(np.int64)
+    ws = rng.random(50_000)  # continuous -> no k-th-score ties
+    lists = [(0.5, ids, ws)]
+    DECODE_STATS["bytes_decoded"] = DECODE_STATS["bytes_total"] = 0
+    got = _topk_shard(_make_pdf(lists, 10))
+    expect = _brute(lists, 10)
+    assert got["doc_id"].tolist() == [d for d, _ in expect]
+    np.testing.assert_allclose(got["score"].to_numpy(), [s for _, s in expect], rtol=1e-9)
+    assert DECODE_STATS["bytes_decoded"] < 0.05 * DECODE_STATS["bytes_total"]
+
+
 def test_kernel_duplicate_free_and_sorted():
     rng = np.random.default_rng(1)
     lists = [

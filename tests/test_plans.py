@@ -51,3 +51,29 @@ def test_topk_has_no_global_sort(spark):
 def test_bm25_query_side_broadcasts(spark):
     plan = _plan(spark, "bm25_topk")
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """The array-form MinHash must stay shuffle-free: no Exchange, no
+    Aggregate — it's a projection over the tokenizer UDF."""
+    plan = _plan(spark, "minhash_signature")
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 1  # one tokenize/shingle pass
+
+
+def test_simhash_single_shuffle(spark):
+    """SimHash = one hash aggregation over doc_id: exactly one pair of
+    exchanges (partial+final HashAggregate), never the 60x bit-row
+    explode (which showed as Generate + a second Exchange)."""
+    plan = _plan(spark, "simhash")
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert "Generate explode" not in plan.split("HashAggregate")[0]
+
+
+def test_lsh_bucket_cap_reuses_join_exchange(spark):
+    """The max_bucket window partitions on the same keys as the bucket
+    self-join; Catalyst/AQE must not add a third hashpartitioning
+    exchange beyond the two join sides."""
+    plan = _plan(spark, "minhash_lsh_pairs")
+    n_band_bucket_exchanges = plan.count("Exchange hashpartitioning(band")
+    assert n_band_bucket_exchanges <= 2

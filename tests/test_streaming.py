@@ -47,3 +47,51 @@ def test_incremental_postings(spark, tmp_path):
         .collect()[0]
     )
     assert dup_counts["mx"] <= 2 and dup_counts["mn"] >= 1
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """Exact dedup state survives microbatch boundaries: a content hash
+    first seen in batch 1 marks every later arrival (batch 2+) as dup,
+    keyed state checkpointed between the two availableNow runs."""
+    from tfidf_spark.streaming.stateful import stream_dedup_exact
+
+    src = str(tmp_path / "dsrc")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    schema = "doc_id long, content string"
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta"), (3, "unique one")], schema
+    ).write.mode("append").parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_dedup_exact(stream, text_col="content")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    got1 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got1[1]["is_dup"] is False and got1[1]["keeper_id"] == 1
+    assert got1[2]["is_dup"] is True and got1[2]["keeper_id"] == 1
+    assert got1[3]["is_dup"] is False
+
+    # batch 2: a re-upload of doc 1's content AND a fresh doc
+    spark.createDataFrame(
+        [(9, "alpha beta"), (4, "brand new text")], schema
+    ).write.mode("append").parquet(src)
+    run()
+    got2 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert got2[9]["is_dup"] is True and got2[9]["keeper_id"] == 1  # state held
+    assert got2[4]["is_dup"] is False

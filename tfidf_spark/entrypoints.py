@@ -199,6 +199,25 @@ def q_doc_fingerprint(spark, sf_dir):
     return textstats.fingerprints(docs, _shingles(docs), text_col="text")
 
 
+def q_huffman_transfer(spark, sf_dir):
+    """Per-doc Huffman transfer compression (the reference's
+    GET /documents/{id}/huffman, app/controllers/document.py:254-319) as
+    an Arrow-batch UDF. Not SQL-expressible -> rows-only driver check;
+    exactness (roundtrip, optimal cost vs a reference-style tree,
+    bit-packing parity) is proven in tests/test_transfer.py."""
+    from tfidf_spark.functions.transfer import huffman_transfer_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", huffman_transfer_udf()("text").alias("h")
+    ).select(
+        "doc_id", "h.padding", "h.orig_bytes", "h.encoded_bytes",
+        # the reference response ships base64(encoded) (F8,
+        # app/controllers/document.py:316)
+        F.base64(F.col("h.encoded")).alias("encoded_b64"),
+    )
+
+
 def q_chargram_fingerprint(spark, sf_dir):
     """Rolling character-gram fingerprint: min md5 over 16-char windows
     sampled every 4 chars (winnowing-style), pure JVM HOFs."""
@@ -237,6 +256,22 @@ def q_embedding_stats(spark, sf_dir):
 
 def q_token_quality(spark, sf_dir):
     return textstats.token_quality(_doc_postings(spark, sf_dir), STOPWORDS)
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting two ways (training-data budgeting): whitespace
+    tokens and a BPE-ish regex (letter runs + single digits + punct
+    chars — the RE2-safe core of GPT-style pre-tokenization, no
+    lookaheads so Spark's Java regex and DuckDB's RE2 agree on this
+    ASCII corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\S+"), 0))
+        .cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), 0))
+        .cast("long").alias("n_bpe"),
+    )
 
 
 def q_lang_id(spark, sf_dir):
@@ -540,10 +575,12 @@ QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "doc_fingerprint": q_doc_fingerprint,
     "chargram_fingerprint": q_chargram_fingerprint,
+    "huffman_transfer": q_huffman_transfer,
     "knn_top1": q_knn_top1,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_stats": q_embedding_stats,
     "token_quality": q_token_quality,
+    "token_count": q_token_count,
     "lang_id": q_lang_id,
     "tfidf_scoped": q_tfidf_scoped,
     "tfidf_collection_scoped": q_tfidf_collection_scoped,
@@ -775,6 +812,12 @@ ORACLES = {
                               THEN cnt ELSE 0 END)::DOUBLE / SUM(cnt), 4) AS stop_ratio_r,
                round(SUM(length(term) * cnt)::DOUBLE / SUM(cnt), 4) AS avg_token_len_r
         FROM p GROUP BY 1""",
+    "token_count": r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws,
+               len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 ]'))::BIGINT
+                 AS n_bpe
+        FROM documents""",
     "lang_id": _TOKS + f"""
         , markers(mlang, term) AS (VALUES
           {','.join(f"('{lang}', '{t}')" for lang, ts in LANG_MARKERS.items() for t in ts)}),

@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from tfidf_spark.index.builder import IndexHandle
-from tfidf_spark.index.codec import decode_block, decode_postings
+from tfidf_spark.index.codec import BLOCK_SIZE, decode_block, decode_postings
 
 _KERNEL_SCHEMA = StructType(
     [
@@ -135,6 +135,37 @@ def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(columns=["query_id", "k", "doc_id", "score"]).astype(
             {"query_id": "int64", "k": "int32", "doc_id": "int64", "score": "float64"}
         )
+    # single-list query (e.g. a lone stop-like term): the ranking is
+    # determined by the weights buffer alone (score = mult * w), which is
+    # a raw float64 read — no varint decode needed. Decode only the
+    # blocks holding the winners (+ their score-ties, so the doc_id
+    # tie-break stays exact).
+    if len(lists) == 1:
+        L = lists[0]
+        w = np.frombuffer(L.wb, dtype=np.float64)
+        s = L.mult * w
+        if s.size > k:
+            kth = np.partition(s, s.size - k)[s.size - k]
+            cand_pos = np.flatnonzero(s >= kth)
+        else:
+            cand_pos = np.arange(s.size)
+        ids = np.empty(cand_pos.size, dtype=np.int64)
+        for b in np.unique(cand_pos // BLOCK_SIZE):
+            blk_ids, _ = L.block(int(b))
+            lo = b * BLOCK_SIZE
+            sel = (cand_pos >= lo) & (cand_pos < lo + blk_ids.size)
+            ids[sel] = blk_ids[cand_pos[sel] - lo]
+        sc = s[cand_pos]
+        order = np.lexsort((ids, -sc))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(order.size, query_id, dtype=np.int64),
+                "k": np.full(order.size, k, dtype=np.int32),
+                "doc_id": ids[order],
+                "score": sc[order],
+            }
+        )
+
     # negative-idf (df == N) terms still contribute; upper bound uses max(.,0)
     lists.sort(key=lambda L: -(L.mult * float(L.bm.max())))
     U = np.array([max(L.mult * float(L.bm.max()), 0.0) for L in lists])
