@@ -25,14 +25,24 @@ def duck():
     return con
 
 
+# Entries deliberately without a SQL oracle (driver records rows-only):
+# huffman_transfer — Huffman coding is not SQL-expressible; exactness is
+# proven by tests/test_transfer.py (roundtrip, optimal-cost, bit parity).
+ROWS_ONLY = {"huffman_transfer"}
+
+
 def test_every_query_has_oracle():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    missing = set(qs) - set(oracles)
+    missing = set(qs) - set(oracles) - ROWS_ONLY
     assert not missing, f"rows-only queries (document if intentional): {missing}"
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
 def test_query_and_oracle_agree_on_shape(spark, duck, name):
+    if name in ROWS_ONLY:
+        got = entry_mod.queries()[name](spark, SF_DIR).limit(5).collect()
+        assert got and len(got[0]) >= 2  # runs end-to-end, stable schema
+        return
     sdf = entry_mod.queries()[name](spark, SF_DIR)
     spark_cols = sorted(sdf.columns)
     got = sdf.limit(5).collect()  # runs the plan

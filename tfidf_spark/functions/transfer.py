@@ -31,6 +31,7 @@ from __future__ import annotations
 import heapq
 
 import numpy as np
+import pandas as pd
 
 
 def _code_lengths(freq: np.ndarray) -> np.ndarray:
@@ -137,8 +138,12 @@ def huffman_transfer_udf():
     shape of the reference's GET /documents/{id}/huffman response,
     computed executor-side per Arrow batch (the code table is canonical,
     so the receiver rebuilds it from code lengths; ship `codes` via
-    huffman_encode directly when the JSON table is required)."""
-    import pandas as pd
+    huffman_encode directly when the JSON table is required).
+
+    NOTE: pandas must be imported at module level — with ``from
+    __future__ import annotations`` the UDF type hints are strings that
+    pyspark resolves against MODULE globals; a function-local ``pd``
+    import silently breaks hint resolution."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(
