@@ -75,6 +75,9 @@ INDEX_SCHEMA = StructType(
         StructField("block_last", ArrayType(LongType())),
         StructField("block_max", ArrayType(DoubleType())),
         StructField("block_off", ArrayType(LongType())),
+        # blob size as a plain column: stats jobs read THIS, never the
+        # binary columns (parquet column pruning skips the blobs)
+        StructField("n_bytes", LongType()),
     ]
 )
 
@@ -104,6 +107,7 @@ def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFr
         out["block_last"].append(block_last)
         out["block_max"].append(block_max)
         out["block_off"].append(block_off)
+        out["n_bytes"].append(len(pb) + len(wb))
     return pd.DataFrame(out)
 
 
@@ -273,11 +277,13 @@ def build_index(
         # string-comparing terms (measured ~14% faster encode at 8 cores,
         # identical output); `term` stays in the order so hash collisions
         # still sort adjacent-but-separated and the kernel's boundary
-        # detection on (term, shard) is unaffected.
+        # detection on (term, shard) is unaffected. tkey is projected
+        # AFTER the repartition so those 8 bytes/row never cross the
+        # shuffle — it is recomputed reduce-side from `term`.
         sorted_runs = (
             sharded.select("term", "shard", "doc_id", "w")
-            .withColumn("tkey", F.xxhash64("term"))
             .repartition("term", "shard")
+            .withColumn("tkey", F.xxhash64("term"))
             .sortWithinPartitions("tkey", "term", "shard", "doc_id")
             .drop("tkey")
         )
@@ -290,10 +296,11 @@ def build_index(
 
     def _term_stats():
         # bytes ride along so the manifest totals come from the tiny
-        # term_stats table — one term_postings scan, not two
+        # term_stats table; n_bytes is a stored int column, so this scan
+        # never touches the posting blobs (parquet column pruning)
         tp.groupBy("term").agg(
             F.sum("df_shard").alias("df"),
-            F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
+            F.sum("n_bytes").alias("bytes"),
         ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     ckpt.run("term_stats", _term_stats)

@@ -106,7 +106,7 @@ def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
     tp = spark.read.parquet(f"{out_dir}/term_postings")
     tp.groupBy("term").agg(
         F.sum("df_shard").alias("df"),
-        F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
+        F.sum("n_bytes").alias("bytes"),
     ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     manifest = dict(index.manifest)
@@ -220,7 +220,7 @@ def compact_index(
     tp = spark.read.parquet(f"{out_dir}/term_postings")
     tp.groupBy("term").agg(
         F.sum("df_shard").alias("df"),
-        F.sum(F.length("postings") + F.length("weights")).alias("bytes"),
+        F.sum("n_bytes").alias("bytes"),
     ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     # carry tombstones forward: the merged snapshot must keep filtering
