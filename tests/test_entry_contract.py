@@ -26,9 +26,10 @@ def duck():
 
 
 # Entries deliberately without a SQL oracle (driver records rows-only):
-# huffman_transfer — Huffman coding is not SQL-expressible; exactness is
-# proven by tests/test_transfer.py (roundtrip, optimal-cost, bit parity).
-ROWS_ONLY = {"huffman_transfer"}
+# none — huffman_transfer gained a round-trip oracle in round 3 (the
+# query emits sha256 of encode->decode output; DuckDB checks sha256(text)),
+# so every queries() entry is hash-gated.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle():

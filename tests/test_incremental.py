@@ -103,3 +103,74 @@ def test_drift_guard(spark, split_corpus, tmp_path):
     ).withColumn("doc_id", F.col("doc_id") + 1)
     with pytest.raises(RuntimeError, match="avgdl drift"):
         compact_index(base_idx, long_docs, str(tmp_path / "m2"))
+
+
+def test_compact_is_o_delta(spark, split_corpus, tmp_path):
+    """The merge carries base segments BY REFERENCE: no base posting file
+    is rewritten (mtimes identical), the new manifest lists the base dir
+    plus the delta dir, and the bytes written are the delta's alone."""
+    import os
+
+    full, base, delta = split_corpus
+    base_dir = str(tmp_path / "ob")
+    build_index(base, base_dir, n_shards=4)
+    base_idx = load_index(spark, base_dir)
+
+    seg = os.path.join(base_dir, "term_postings")
+    before = {f: os.path.getmtime(os.path.join(seg, f)) for f in os.listdir(seg)}
+
+    merged_dir = str(tmp_path / "om")
+    m = compact_index(base_idx, delta, merged_dir, force=True)
+
+    after = {f: os.path.getmtime(os.path.join(seg, f)) for f in os.listdir(seg)}
+    assert before == after, "base segment files were rewritten"
+    assert m["metrics"]["carried_segments"] == 1
+    assert m["segments"]["term_postings"] == [
+        os.path.abspath(seg),
+        os.path.abspath(os.path.join(merged_dir, "term_postings")),
+    ]
+    # bytes written ~ delta footprint, strictly below the base's bytes
+    base_bytes = base_idx.manifest["metrics"]["bytes_compressed"]
+    assert 0 < m["metrics"]["bytes_written_postings"] < base_bytes
+
+
+def test_chained_increments_and_full_compact(spark, split_corpus, tmp_path):
+    """Two increments -> 3 segments, still rank-identical to a pinned
+    full rebuild; full_compact collapses back to one segment with
+    identical results."""
+    import os
+
+    full, base, delta = split_corpus
+    d1 = delta.filter(F.col("doc_id") % 2 == 0).cache()
+    d2 = delta.filter(F.col("doc_id") % 2 != 0).cache()
+
+    base_dir = str(tmp_path / "cb")
+    build_index(base, base_dir, n_shards=4)
+    base_idx = load_index(spark, base_dir)
+
+    m1_dir = str(tmp_path / "cm1")
+    compact_index(base_idx, d1, m1_dir, force=True)
+    m2_dir = str(tmp_path / "cm2")
+    m2 = compact_index(load_index(spark, m1_dir), d2, m2_dir, force=True)
+    assert m2["increments"] == 2
+    assert len(m2["segments"]["term_postings"]) == 3
+
+    rebuild_dir = str(tmp_path / "crb")
+    build_index(full, rebuild_dir, n_shards=4, avgdl_override=base_idx.avgdl)
+    for terms in (["w0"], ["w1", "w7"], ["w3", "w250", "w999"]):
+        assert _results(spark, m2_dir, terms) == _results(
+            spark, rebuild_dir, terms
+        ), terms
+
+    from tfidf_spark.index.incremental import full_compact
+
+    fc_dir = str(tmp_path / "cfc")
+    fm = full_compact(load_index(spark, m2_dir), fc_dir)
+    assert len(fm["segments"]["term_postings"]) == 1
+    assert fm["segments"]["term_postings"][0] == os.path.abspath(
+        os.path.join(fc_dir, "term_postings")
+    )
+    for terms in (["w0"], ["w1", "w7"]):
+        assert _results(spark, fc_dir, terms) == _results(
+            spark, rebuild_dir, terms
+        ), terms

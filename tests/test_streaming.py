@@ -52,7 +52,12 @@ def test_incremental_postings(spark, tmp_path):
 def test_stateful_stream_dedup(spark, tmp_path):
     """Exact dedup state survives microbatch boundaries: a content hash
     first seen in batch 1 marks every later arrival (batch 2+) as dup,
-    keyed state checkpointed between the two availableNow runs."""
+    keyed state checkpointed between the two availableNow runs.
+
+    Each logical batch is written as ONE parquet file (coalesce) so the
+    operator's determinism contract applies: within a microbatch the
+    minimum doc_id is the keeper; across microbatches first arrival wins.
+    """
     from tfidf_spark.streaming.stateful import stream_dedup_exact
 
     src = str(tmp_path / "dsrc")
@@ -62,7 +67,7 @@ def test_stateful_stream_dedup(spark, tmp_path):
 
     spark.createDataFrame(
         [(1, "alpha beta"), (2, "alpha beta"), (3, "unique one")], schema
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
 
     def run():
         stream = (
@@ -90,8 +95,52 @@ def test_stateful_stream_dedup(spark, tmp_path):
     # batch 2: a re-upload of doc 1's content AND a fresh doc
     spark.createDataFrame(
         [(9, "alpha beta"), (4, "brand new text")], schema
-    ).write.mode("append").parquet(src)
+    ).coalesce(1).write.mode("append").parquet(src)
     run()
-    got2 = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    rows2 = spark.read.parquet(out).collect()
+    got2 = {r["doc_id"]: r for r in rows2}
     assert got2[9]["is_dup"] is True and got2[9]["keeper_id"] == 1  # state held
     assert got2[4]["is_dup"] is False
+    # invariant: exactly one is_dup=False per content hash, ever
+    keepers: dict[str, int] = {}
+    for r in rows2:
+        if not r["is_dup"]:
+            keepers[r["content_sha256"]] = keepers.get(r["content_sha256"], 0) + 1
+    assert set(keepers.values()) == {1} and len(keepers) == 3
+
+
+def test_stateful_dedup_fn_chunked():
+    """_dedup_fn is chunk-order-independent: the keeper is the GLOBAL
+    min doc_id across all Arrow chunks of a group, and a duplicated
+    keeper row within the batch still yields exactly one is_dup=False."""
+    import pandas as pd
+
+    from tfidf_spark.streaming.stateful import _dedup_fn
+
+    class _FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists, self.get = True, v
+
+    st = _FakeState()
+    # keeper (id=1) arrives in the SECOND chunk, and appears twice
+    chunks = iter(
+        [
+            pd.DataFrame({"doc_id": [5, 7]}),
+            pd.DataFrame({"doc_id": [1, 1, 3]}),
+        ]
+    )
+    out = pd.concat(list(_dedup_fn(("h",), chunks, st)), ignore_index=True)
+    assert out["keeper_id"].eq(1).all()
+    assert int((~out["is_dup"]).sum()) == 1
+    assert int(out.loc[~out["is_dup"], "doc_id"].iloc[0]) == 1
+    assert st.get == (1, 5)
+
+    # a later microbatch containing the keeper again: all dups
+    chunks2 = iter([pd.DataFrame({"doc_id": [1, 9]})])
+    out2 = pd.concat(list(_dedup_fn(("h",), chunks2, st)), ignore_index=True)
+    assert out2["is_dup"].all() and out2["keeper_id"].eq(1).all()
+    assert st.get == (1, 7)

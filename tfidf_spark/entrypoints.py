@@ -202,20 +202,19 @@ def q_doc_fingerprint(spark, sf_dir):
 def q_huffman_transfer(spark, sf_dir):
     """Per-doc Huffman transfer compression (the reference's
     GET /documents/{id}/huffman, app/controllers/document.py:254-319) as
-    an Arrow-batch UDF. Not SQL-expressible -> rows-only driver check;
-    exactness (roundtrip, optimal cost vs a reference-style tree,
-    bit-packing parity) is proven in tests/test_transfer.py."""
-    from tfidf_spark.functions.transfer import huffman_transfer_udf
+    an Arrow-batch UDF, emitted as a ROUND-TRIP PROOF the DuckDB oracle
+    can check: encode -> decode executor-side, output the original byte
+    length and sha256 of the decoded bytes. Hash-matching the oracle's
+    (strlen(text), sha256(text)) proves losslessness on every document.
+    The full response shape (base64(encoded), padding, code table — F8)
+    is produced by functions/transfer.huffman_transfer_udf and covered
+    bit-level in tests/test_transfer.py."""
+    from tfidf_spark.functions.transfer import huffman_roundtrip_udf
 
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", huffman_transfer_udf()("text").alias("h")
-    ).select(
-        "doc_id", "h.padding", "h.orig_bytes", "h.encoded_bytes",
-        # the reference response ships base64(encoded) (F8,
-        # app/controllers/document.py:316)
-        F.base64(F.col("h.encoded")).alias("encoded_b64"),
-    )
+        "doc_id", huffman_roundtrip_udf()("text").alias("h")
+    ).select("doc_id", "h.orig_bytes", "h.roundtrip_sha256")
 
 
 def q_chargram_fingerprint(spark, sf_dir):
@@ -755,6 +754,13 @@ ORACLES = {
             ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
         SELECT a, b, bit_count(xor(sa, sb))::BIGINT AS hamming
         FROM cand WHERE bit_count(xor(sa, sb)) <= 20""",
+    # Round-trip proof: the Spark side encodes AND decodes (Huffman is not
+    # SQL-expressible), the oracle only has to know what lossless means —
+    # identical byte length and sha256. strlen() is DuckDB's BYTE length.
+    "huffman_transfer": """
+        SELECT doc_id, strlen(text)::BIGINT AS orig_bytes,
+               sha256(text) AS roundtrip_sha256
+        FROM documents""",
     "chargram_fingerprint": """
         SELECT doc_id,
                CASE WHEN length(text) >= 16 THEN (

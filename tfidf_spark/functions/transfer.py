@@ -132,6 +132,41 @@ def huffman_decode(
     return bytes(out)
 
 
+def huffman_roundtrip_udf():
+    """Arrow-vectorized ``content -> struct(orig_bytes, encoded_bytes,
+    padding, roundtrip_sha256)`` — encode THEN decode executor-side and
+    emit the sha256 of the decoded bytes. Against an oracle's
+    ``(strlen(text), sha256(text))`` this proves the codec is lossless on
+    every real document (the driver's hash gate); compression ratio and
+    bit-level parity with a reference-style tree are proven separately in
+    tests/test_transfer.py."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "orig_bytes long, encoded_bytes long, padding int, "
+        "roundtrip_sha256 string"
+    )
+    def _rt(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for text in s.fillna(""):
+            data = text.encode("utf-8")
+            enc, codes, pad = huffman_encode(data)
+            dec = huffman_decode(enc, codes, pad)
+            rows.append(
+                (len(data), len(enc), pad, hashlib.sha256(dec).hexdigest())
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "orig_bytes", "encoded_bytes", "padding", "roundtrip_sha256",
+            ],
+        )
+
+    return _rt
+
+
 def huffman_transfer_udf():
     """Arrow-vectorized ``content -> struct(encoded binary, padding int,
     orig_bytes long, encoded_bytes long)`` — the transfer-compression

@@ -65,6 +65,13 @@ from tfidf_spark.index.codec import encode_postings
 from tfidf_spark.operators.postings import with_term_counts
 from tfidf_spark.operators.scoring import bm25_weight_expr
 
+# On-disk snapshot format. v1: eager postings (no block_off); v2: block
+# byte offsets -> lazy per-block decode; v3: manifest lists SEGMENT
+# directories for term_postings/doc_stats (O(delta) incremental merges
+# carry old segments by reference). Readers accept <= FORMAT_VERSION;
+# v1 snapshots fail with a clear rebuild-required error (no block_off).
+FORMAT_VERSION = 3
+
 INDEX_SCHEMA = StructType(
     [
         StructField("term", StringType()),
@@ -247,6 +254,9 @@ def build_index(
     ckpt.run("doc_stats", _doc_stats)
     cs = (
         spark.read.parquet(f"{out_dir}/_lineage/partitions")
+        # partitions is a multi-stage table (stage, part_id, ...); a future
+        # stage appending rows here must not double-count N / dl_sum
+        .filter(F.col("stage") == "postings")
         .agg(F.sum("n_docs").alias("n"), F.sum("dl_sum").alias("dl_sum"))
         .collect()[0]
     )
@@ -311,12 +321,21 @@ def build_index(
         .collect()[0]
     )
     manifest = {
+        "format_version": FORMAT_VERSION,
         "n_docs": n_docs,
         "avgdl": avgdl,
         "n_shards": n_shards,
         "k1": k1,
         "b": b,
         "code_aware": code_aware,
+        # Iceberg-manifest pattern: the snapshot LISTS its data segments;
+        # incremental merges append a delta segment without rewriting the
+        # carried ones (see incremental.compact_index). A fresh build is
+        # a single-segment snapshot.
+        "segments": {
+            "term_postings": [os.path.abspath(f"{out_dir}/term_postings")],
+            "doc_stats": [os.path.abspath(f"{out_dir}/doc_stats")],
+        },
         "metrics": {
             "docs_tokenized": n_docs,
             "postings_emitted": int(stats["n_postings"] or 0),
@@ -330,13 +349,29 @@ def build_index(
 
 
 class IndexHandle:
-    """Loaded index: lazily-read DataFrames + collected scalars."""
+    """Loaded index: lazily-read DataFrames + collected scalars.
+
+    ``term_postings`` and ``doc_stats`` are the UNION of the snapshot's
+    segment directories (manifest ``segments`` — one per incremental
+    merge, Lucene/Iceberg style). Segments hold disjoint doc sets (the
+    re-ingest guard enforces it), so a term may have multiple runs per
+    shard; the MaxScore kernel treats each run as an independent list,
+    which stays exact because every doc appears in at most one run per
+    term. ``term_stats`` is always a single merged table (tiny, O(vocab))
+    so the query-side idf join sees one row per term.
+    """
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
         with open(os.path.join(path, "manifest.json")) as f:
             self.manifest = json.load(f)
+        version = self.manifest.get("format_version", 2)
+        if version > FORMAT_VERSION:
+            raise ValueError(
+                f"index at {path} has format_version={version}, newer than "
+                f"this engine's {FORMAT_VERSION}; upgrade the engine"
+            )
         self.n_docs = self.manifest["n_docs"]
         self.avgdl = self.manifest["avgdl"]
         self.k1 = self.manifest["k1"]
@@ -344,12 +379,28 @@ class IndexHandle:
         self._dfs: dict[str, DataFrame] = {}
         self._n_tombstones: int | None = None
 
+    def segment_paths(self, name: str) -> list[str]:
+        segs = self.manifest.get("segments")
+        if segs and name in segs:
+            return list(segs[name])
+        # pre-v3 snapshot: single directory under the index root
+        return [os.path.join(self.path, name)]
+
     def _cached(self, name: str) -> DataFrame:
         # one read per table per handle: repeated spark.read calls re-list
         # files and re-read footers on every query
         df = self._dfs.get(name)
         if df is None:
-            df = self.spark.read.parquet(f"{self.path}/{name}")
+            if name in ("term_postings", "doc_stats"):
+                df = self.spark.read.parquet(*self.segment_paths(name))
+            else:
+                df = self.spark.read.parquet(f"{self.path}/{name}")
+            if name == "term_postings" and "block_off" not in df.columns:
+                raise ValueError(
+                    f"index at {self.path} predates the block_off layout "
+                    f"(format_version >= 2): rebuild required "
+                    "(build_index over the source corpus)"
+                )
             self._dfs[name] = df
         return df
 

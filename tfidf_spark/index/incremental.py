@@ -1,12 +1,29 @@
-"""Incremental index maintenance: merge new documents into an existing
-compressed index by re-encoding ONLY the (term, shard) runs they touch.
+"""Incremental index maintenance, Lucene/Iceberg segment style: merging
+new documents appends a DELTA SEGMENT and a new manifest — old segments
+are carried over BY REFERENCE, never decoded, never rewritten.
 
 This is the scalable analog of the reference's per-upload index insert
 (reference app/repositories/document.py:148-173: each new document adds
 its posting rows) and the cascade-delete maintenance note
-(SURVEY.md §2.6): work is proportional to the DELTA's term footprint,
-never to the existing index size — untouched runs are carried over as-is
-(their parquet rows are rewritten but never decoded).
+(SURVEY.md §2.6). I/O and CPU are both proportional to the DELTA:
+
+- ``compact_index(delta)`` tokenizes + encodes ONLY the delta's postings
+  into ``out_dir/term_postings`` and lists the base snapshot's segment
+  directories in the new manifest (``segments``) — at 100 TB the merge
+  writes megabytes while the index stays at terabytes. The only
+  O(index)-adjacent work is re-aggregating ``term_stats`` (one row per
+  term — O(vocabulary), not O(postings); parquet column pruning means
+  the posting blobs are never read).
+- Queries see multiple runs per (term, shard) — one per segment — and
+  the MaxScore kernel scores each run as an independent list. Exactness
+  is preserved because segments hold DISJOINT doc sets (the re-ingest
+  guard enforces it): every doc contributes to a term's score from
+  exactly one run, and extra per-run upper bounds only loosen pruning
+  (never unsound).
+- ``full_compact`` / ``compact_deletes`` is the MAJOR compaction: decode
+  the union of segments, drop tombstoned docs, re-encode into a fresh
+  single-segment snapshot. Run it when segment count or tombstone
+  fraction justifies the rewrite (manifest carries both counters).
 
 BM25 weight consistency: stored weights fold in avgdl at encode time.
 Increments PIN the base index's avgdl (so all runs score consistently)
@@ -24,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tfidf_spark.index.builder import (
+    FORMAT_VERSION,
     INDEX_SCHEMA,
     IndexHandle,
     _encode_sorted_stream,
@@ -82,16 +100,21 @@ def delete_docs(index: IndexHandle, doc_ids: list[int]) -> int:
     return index.n_tombstones
 
 
-def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
-    """Physically rewrite the index without tombstoned docs: decode ->
-    anti-join -> re-encode every run (a full compaction — run it when the
-    tombstone fraction justifies the rewrite). avgdl stays pinned; N and
+def full_compact(index: IndexHandle, out_dir: str) -> dict:
+    """MAJOR compaction: decode the union of all segments, drop
+    tombstoned docs (if any), re-encode into a fresh SINGLE-SEGMENT
+    snapshot at ``out_dir``. This is the only path that rewrites the
+    whole index — run it when ``manifest['increments']`` (segment count)
+    or the tombstone fraction justifies O(index) I/O; day-to-day merges
+    go through the O(delta) ``compact_index``. avgdl stays pinned; N and
     per-term df are corrected."""
     spark = index.spark
     ts = index.tombstones
-    if ts is None:
-        raise ValueError("no tombstones to compact")
-    rows = decode_runs(index.term_postings).join(ts, "doc_id", "left_anti")
+    rows = decode_runs(index.term_postings)
+    kept_stats = index.doc_stats
+    if ts is not None:
+        rows = rows.join(ts, "doc_id", "left_anti")
+        kept_stats = kept_stats.join(ts, "doc_id", "left_anti")
     (
         rows.repartition("term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
@@ -99,7 +122,6 @@ def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
         .write.mode("overwrite")
         .parquet(f"{out_dir}/term_postings")
     )
-    kept_stats = index.doc_stats.join(ts, "doc_id", "left_anti")
     kept_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
     n_docs = spark.read.parquet(f"{out_dir}/doc_stats").count()
 
@@ -110,10 +132,29 @@ def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
     ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     manifest = dict(index.manifest)
-    manifest.update({"n_docs": n_docs, "tombstones_compacted": index.n_tombstones})
+    manifest.update(
+        {
+            "format_version": FORMAT_VERSION,
+            "n_docs": n_docs,
+            "tombstones_compacted": index.n_tombstones,
+            "segments": {
+                "term_postings": [os.path.abspath(f"{out_dir}/term_postings")],
+                "doc_stats": [os.path.abspath(f"{out_dir}/doc_stats")],
+            },
+        }
+    )
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     return manifest
+
+
+def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
+    """Physically rewrite the index without tombstoned docs — a
+    ``full_compact`` that requires tombstones to exist (guarding against
+    accidentally paying O(index) for a no-op)."""
+    if index.tombstones is None:
+        raise ValueError("no tombstones to compact")
+    return full_compact(index, out_dir)
 
 
 def compact_index(
@@ -126,18 +167,20 @@ def compact_index(
     rebuild_threshold: float = 0.10,
     force: bool = False,
 ) -> dict:
-    """Merge ``new_docs`` into ``index``, writing a NEW index at
-    ``out_dir`` (immutable snapshots — the old index stays queryable
+    """Merge ``new_docs`` into ``index``, writing a NEW snapshot manifest
+    at ``out_dir`` (immutable snapshots — the old index stays queryable
     during the merge, Iceberg-style).
 
-    Steps (one tokenize pass over the delta only):
+    O(delta) by construction — ONE tokenize pass over the delta only:
       1. tokenize delta -> delta postings with weights under the PINNED
          base avgdl
-      2. affected = distinct (term, shard) of the delta
-      3. decode-merge: affected old runs -> posting rows, union with the
-         delta rows, re-encode (Tungsten sort + stream kernel — same
-         kernel as the full build)
-      4. carry over unaffected runs untouched + rewrite stats/manifest
+      2. encode the delta postings into ``out_dir/term_postings`` — a new
+         SEGMENT (same sort + stream kernel as the full build)
+      3. carry every base segment over BY REFERENCE: the new manifest's
+         ``segments`` lists the base's directories plus the delta's; no
+         base byte is read or written
+      4. re-aggregate term_stats (old stats ∪ delta stats — O(vocab),
+         posting blobs untouched) and write the manifest
 
     ``code_aware`` defaults to the BASE index's tokenizer mode; passing a
     different mode explicitly raises — mixing tokenizers in one index
@@ -172,8 +215,10 @@ def compact_index(
 
     # Re-ingest guard (the reference rejects duplicate uploads by hash,
     # app/controllers/document.py:150-156): a doc_id already in the base
-    # would double its stats and postings. Deduplicate upstream (left_anti
-    # on doc_id or content sha) before compacting.
+    # would double its stats and postings — and would break the
+    # disjoint-segments invariant the multi-run query kernel relies on.
+    # Deduplicate upstream (left_anti on doc_id or content sha) before
+    # compacting.
     overlap = delta_stats.join(index.doc_stats, "doc_id", "left_semi").count()
     if overlap:
         raise ValueError(
@@ -196,32 +241,29 @@ def compact_index(
         .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int"))
         .select("term", "shard", "doc_id", "w")
     )
-
-    affected = delta_posts.select("term", "shard").distinct()
-    old = index.term_postings
-    touched_old = old.join(affected, ["term", "shard"], "left_semi")
-    untouched = old.join(affected, ["term", "shard"], "left_anti")
-
-    old_rows = decode_runs(touched_old)
-    merged_rows = old_rows.unionByName(delta_posts)
-    re_encoded = (
-        merged_rows.repartition("term", "shard")
+    (
+        delta_posts.repartition("term", "shard")
         .sortWithinPartitions("term", "shard", "doc_id")
         .mapInPandas(_encode_sorted_stream, INDEX_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/term_postings")
     )
-    re_encoded.unionByName(untouched).write.mode("overwrite").parquet(
-        f"{out_dir}/term_postings"
-    )
+    delta_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
 
-    # stats tables: doc_stats = old ∪ delta; term_stats recomputed from runs
-    index.doc_stats.unionByName(delta_stats).write.mode("overwrite").parquet(
-        f"{out_dir}/doc_stats"
+    # term_stats must stay one-row-per-term (the query-side idf join
+    # broadcasts it), so it is re-aggregated: base stats ∪ the delta
+    # segment's per-term sums. O(vocabulary) rows; n_bytes/df_shard are
+    # stored int columns, so neither scan touches a posting blob.
+    seg = spark.read.parquet(f"{out_dir}/term_postings")
+    delta_ts = seg.groupBy("term").agg(
+        F.sum("df_shard").alias("df"), F.sum("n_bytes").alias("bytes")
     )
-    tp = spark.read.parquet(f"{out_dir}/term_postings")
-    tp.groupBy("term").agg(
-        F.sum("df_shard").alias("df"),
-        F.sum("n_bytes").alias("bytes"),
-    ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
+    merged_ts = (
+        index.term_stats.unionByName(delta_ts)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("bytes").alias("bytes"))
+    )
+    merged_ts.write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
     # carry tombstones forward: the merged snapshot must keep filtering
     # docs deleted from the base, or they silently reappear in results.
@@ -229,23 +271,37 @@ def compact_index(
     if n_carried:
         index.tombstones.write.mode("overwrite").parquet(f"{out_dir}/tombstones")
 
-    stats = (
-        spark.read.parquet(f"{out_dir}/term_stats")
-        .agg(F.sum("df").alias("n_postings"), F.sum("bytes").alias("bytes"))
-        .collect()[0]
+    delta_bytes = (
+        seg.agg(
+            F.sum("n_bytes").alias("b"), F.sum("df_shard").alias("p")
+        ).collect()[0]
     )
+    base_segs = {
+        "term_postings": index.segment_paths("term_postings"),
+        "doc_stats": index.segment_paths("doc_stats"),
+    }
     manifest = dict(index.manifest)
     manifest.update(
         {
+            "format_version": FORMAT_VERSION,
             "n_docs": n_docs,
             "avgdl": pinned_avgdl,
             "true_avgdl": true_avgdl,
             "avgdl_drift": drift,
             "increments": index.manifest.get("increments", 0) + 1,
+            "segments": {
+                "term_postings": base_segs["term_postings"]
+                + [os.path.abspath(f"{out_dir}/term_postings")],
+                "doc_stats": base_segs["doc_stats"]
+                + [os.path.abspath(f"{out_dir}/doc_stats")],
+            },
             "metrics": {
                 "docs_tokenized": n_new,
-                "postings_emitted": int(stats["n_postings"] or 0),
-                "bytes_compressed": int(stats["bytes"] or 0),
+                # O(delta) evidence: posting bytes WRITTEN by this merge —
+                # the delta segment only; carried segments contribute 0.
+                "postings_emitted": int(delta_bytes["p"] or 0),
+                "bytes_written_postings": int(delta_bytes["b"] or 0),
+                "carried_segments": len(base_segs["term_postings"]),
             },
         }
     )

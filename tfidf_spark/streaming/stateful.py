@@ -11,8 +11,21 @@ Streaming). This is the scalable form: state is partitioned by
 content hash across executors, so the dedup table never lives on one
 node.
 
-Determinism: the keeper is the first-seen doc; within one microbatch
-(no arrival order) the minimum doc_id wins — the engine-wide tie-break.
+Determinism contract (order-independent WITHIN a microbatch, first-arrival
+ACROSS microbatches):
+
+- Within one microbatch the keeper is the minimum doc_id of the hash's
+  rows — computed over ALL Arrow chunks of the group, so the result
+  cannot depend on Arrow batch slicing.
+- Across microbatches the keeper is the first microbatch's keeper
+  ("first arrival"): once state records a keeper, every later row for
+  that hash is a dup, exactly like the reference's 409-on-duplicate
+  upload (reference app/controllers/document.py:147-156). Microbatch
+  order follows the source's file-listing order, which callers control
+  (one file per logical batch ⇒ fully deterministic).
+- `is_dup=False` is emitted for EXACTLY ONE row per hash, ever — the
+  first occurrence of the keeper doc_id in its first microbatch, even
+  if the keeper row itself is duplicated within that batch.
 """
 
 from __future__ import annotations
@@ -34,28 +47,37 @@ _STATE_SCHEMA = "keeper_id long, n_seen long"
 def _dedup_fn(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # Buffer every chunk of the group before choosing the keeper: one
+    # content hash can span multiple Arrow chunks, and the min doc_id
+    # must be the GLOBAL min of the microbatch, not the first chunk's.
+    # Memory is bounded by the per-hash duplicate count within one
+    # microbatch (small by construction — dups of a single document),
+    # not by the microbatch size.
     keeper, n_seen = state.get if state.exists else (None, 0)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        ids = pdf["doc_id"].astype("int64")
-        batch_min = int(ids.min())
-        if keeper is None:
-            keeper = batch_min
-        out = pd.DataFrame(
-            {
-                "content_sha256": key[0],
-                "doc_id": ids,
-                "keeper_id": keeper,
-                "is_dup": (ids != keeper) | (n_seen > 0),
-            }
-        )
-        # every row after the keeper's first sighting is a dup, including
-        # a re-upload of the keeper doc itself in a later batch
-        out.loc[(ids == keeper) & (n_seen == 0), "is_dup"] = False
-        n_seen += len(pdf)
-        yield out
+    ids_chunks = [
+        pdf["doc_id"].astype("int64") for pdf in pdfs if len(pdf)
+    ]
+    if not ids_chunks:
+        state.update((keeper, n_seen))
+        return
+    ids = pd.concat(ids_chunks, ignore_index=True)
+    if keeper is None:
+        keeper = int(ids.min())
+    is_dup = pd.Series(True, index=ids.index)
+    if n_seen == 0:
+        # exactly one non-dup row ever: the keeper's FIRST occurrence
+        keeper_rows = ids.index[ids == keeper]
+        is_dup.loc[keeper_rows[0]] = False
+    n_seen += len(ids)
     state.update((keeper, n_seen))
+    yield pd.DataFrame(
+        {
+            "content_sha256": key[0],
+            "doc_id": ids,
+            "keeper_id": keeper,
+            "is_dup": is_dup,
+        }
+    )
 
 
 def stream_dedup_exact(

@@ -94,9 +94,15 @@ def main() -> None:
             n_shards=args.n_shards,
             code_aware=args.code_aware,
             # explicit non-numeric --snapshot wins (external version tag);
-            # otherwise the source fingerprint (iceberg:table@snapshot or
-            # parquet:path) keys the resume checkpoints
-            source_snapshot=args.snapshot or fingerprint,
+            # a NUMERIC --snapshot is an Iceberg snapshot pin already encoded
+            # in the table-qualified fingerprint — using the bare number here
+            # would let two different tables pinned to the same snapshot id
+            # share a resume key, so the fingerprint wins for those.
+            source_snapshot=(
+                args.snapshot
+                if args.snapshot and not args.snapshot.isdigit()
+                else fingerprint
+            ),
             resume=args.resume,
         )
         manifest["source_fingerprint"] = fingerprint
