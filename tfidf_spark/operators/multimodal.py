@@ -3,11 +3,17 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched kernels over mapInPandas.
 
 The Spark-side plumbing (schemas, partition sizing, UDF signatures,
-batch shapes) is real and tested; the codec step itself is STUBBED —
-image/audio libraries are not in this container. ``DeterministicFakeCodec``
-produces seeded, shape-correct outputs so the pipeline is exercisable
-end-to-end; ``LibraryCodec`` raises NotImplementedError at the exact
-point a real decoder (Pillow / torchaudio / pyav) would plug in.
+batch shapes) is real and tested. Codecs:
+
+- ``StdlibCodec`` (the default): REAL image + audio decode with zero
+  external deps — a pure-stdlib PNG decoder (zlib inflate + all five
+  scanline defilters incl. Paeth, functions/png.py) and PCM16 WAV via
+  the stdlib ``wave`` module. Video frame sampling alone stays a
+  NotImplementedError plug-in point (container ships no mp4 demuxer).
+- ``DeterministicFakeCodec``: seeded, shape-correct stand-in kept for
+  pipeline tests that need payloads cheaper than real encodes.
+- ``LibraryCodec``: the plug-in base a real deployment overrides with
+  Pillow / torchaudio / pyav.
 
 Scale notes baked into the design:
 - binary payloads dominate row size -> ``media_repartition`` targets
@@ -50,6 +56,22 @@ class LibraryCodec:
         raise NotImplementedError("video frame sampling requires pyav/ffmpeg")
 
 
+class StdlibCodec(LibraryCodec):
+    """Real decode for the formats a pure-stdlib container can handle:
+    PNG images (functions/png.py) and PCM16 WAV audio. Video frame
+    sampling still requires an external demuxer."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        from tfidf_spark.functions.png import png_decode
+
+        return png_decode(payload)
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        from tfidf_spark.functions.png import wav_decode
+
+        return wav_decode(payload)
+
+
 class DeterministicFakeCodec(LibraryCodec):
     """Seeded, shape-correct stand-in: output depends only on the payload
     bytes, so tests are reproducible under any partitioning."""
@@ -70,6 +92,15 @@ class DeterministicFakeCodec(LibraryCodec):
         ]
 
 
+class PipelineCodec(StdlibCodec):
+    """The default pipeline codec: REAL PNG/WAV decode; video frame
+    sampling falls back to the seeded fake until a demuxer is plugged
+    in (the one remaining stub, clearly marked in StdlibCodec)."""
+
+    def sample_frames(self, payload: bytes, every_ms: int) -> list[np.ndarray]:
+        return DeterministicFakeCodec().sample_frames(payload, every_ms)
+
+
 def media_repartition(df: DataFrame, target_bytes: int = 256 << 20) -> DataFrame:
     """Repartition a media table by PAYLOAD BYTES, not row count."""
     total = df.agg(F.sum("n_bytes")).collect()[0][0] or 0
@@ -84,11 +115,12 @@ def extract_features(
 ) -> DataFrame:
     """``(media_id, kind, feature array<float>)`` via a mapInPandas kernel.
 
-    The fake feature is a seeded projection of the decoded array — a
-    deterministic stand-in for an embedding model's output with the same
-    schema/batch shape.
+    The feature is a seeded random projection of the decoded pixel/sample
+    array — a deterministic stand-in for an embedding model's output with
+    the same schema/batch shape (the decode underneath is REAL for
+    image/audio via PipelineCodec).
     """
-    codec = codec or DeterministicFakeCodec()
+    codec = codec or PipelineCodec()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         proj = {}  # per-shape cached projection matrices (seeded)
@@ -126,7 +158,11 @@ def extract_features(
 
 
 def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    """Deterministic media table matching MEDIA_SCHEMA. Image rows carry
+    REAL PNG byte streams and audio rows REAL PCM16 WAV byte streams
+    (functions/png.py encoders), so the decode path downstream exercises
+    genuine codecs; video payloads stay opaque seeded bytes."""
+    from tfidf_spark.functions.png import png_encode, wav_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -136,7 +172,15 @@ def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
                 i = int(i)
                 rng = np.random.default_rng([seed, i])
                 kind = kinds[i % 3]
-                payload = rng.bytes(256 + (i % 7) * 64)
+                if kind == "image":
+                    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                    payload = png_encode(px)
+                elif kind == "audio":
+                    payload = wav_encode(
+                        rng.standard_normal(1600).astype(np.float32) * 0.3
+                    )
+                else:
+                    payload = rng.bytes(256 + (i % 7) * 64)
                 rows.append(
                     {
                         "media_id": i,
