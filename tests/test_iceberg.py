@@ -81,3 +81,118 @@ def test_cli_wires_fingerprint_into_resume(spark, tmp_path, capsys):
 
     m3 = _run_cli(args + ["--snapshot", "corpus-v2"], capsys)
     assert m3["metrics"]["stage_postings_sec"] > 0  # new version: full re-run
+
+
+class _FakeIcebergReader:
+    """Stands in for spark.read against a mocked catalog: records the
+    exact reader options load_corpus sets and serves 'snapshots' from
+    versioned parquet dirs (time-travel semantics: snapshot-id selects a
+    frozen version). This executes the REAL iceberg branch of
+    load_corpus — only the jar-backed DataFrameReader is substituted."""
+
+    def __init__(self, spark, snapshots):
+        self._spark = spark
+        self._snapshots = snapshots  # {snapshot_id or None: parquet path}
+        self.fmt = None
+        self.opts = {}
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.opts[k] = v
+        return self
+
+    def load(self, table):
+        assert self.fmt == "iceberg"
+        self.table = table
+        snap = self.opts.get("snapshot-id")
+        path = self._snapshots[int(snap) if snap is not None else None]
+        return self._spark.read.parquet(path)
+
+
+class _FakeSpark:
+    """Delegates everything to the real session except .read — which,
+    like the real property, hands out a FRESH reader per access (options
+    must not leak between reads). The last reader is kept for asserts."""
+
+    def __init__(self, spark, snapshots):
+        self._spark = spark
+        self._snapshots = snapshots
+        self.last_reader = None
+
+    @property
+    def read(self):
+        self.last_reader = _FakeIcebergReader(self._spark, self._snapshots)
+        return self.last_reader
+
+    def __getattr__(self, name):
+        return getattr(self._spark, name)
+
+
+@pytest.fixture()
+def mock_catalog(spark, tmp_path, monkeypatch):
+    """Two 'snapshots' of an iceberg table as frozen parquet versions:
+    snapshot 100 = 30 docs, snapshot 200 (current) = 50 docs."""
+    from tfidf_spark.sources import catalog as cat
+
+    full = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v1 = str(tmp_path / "snap100")
+    v2 = str(tmp_path / "snap200")
+    full.limit(30).write.parquet(v1)
+    full.limit(50).write.parquet(v2)
+    snapshots = {100: v1, 200: v2, None: v2}
+    monkeypatch.setattr(cat, "iceberg_available", lambda s: True)
+    return _FakeSpark(spark, snapshots)
+
+
+def test_mocked_iceberg_reader_option_plumbing(mock_catalog):
+    fake = mock_catalog
+    df, fp = load_corpus(fake, "warehouse.db.corpus", fmt="iceberg",
+                         snapshot_id=100)
+    reader = fake.last_reader
+    assert reader.fmt == "iceberg"
+    assert reader.table == "warehouse.db.corpus"
+    assert reader.opts == {"snapshot-id": "100"}  # option reached the reader
+    assert fp == "iceberg:warehouse.db.corpus@100"
+    assert df.count() == 30
+
+    df2, fp2 = load_corpus(fake, "warehouse.db.corpus", fmt="iceberg")
+    assert fake.last_reader.opts == {}  # no stale pin leaks into new reads
+    assert fp2 == "iceberg:warehouse.db.corpus@current"
+    assert df2.count() == 50
+
+
+def test_mocked_iceberg_snapshot_pin_keys_resume(spark, mock_catalog, tmp_path):
+    """Full handoff: load_corpus(iceberg) fingerprint ->
+    build_index(source_snapshot=...) -> resume skips stages for the SAME
+    snapshot pin and re-runs for a DIFFERENT one."""
+    from tfidf_spark.index.builder import build_index
+
+    fake = mock_catalog
+    out = str(tmp_path / "ice_idx")
+
+    df, fp = load_corpus(fake, "warehouse.db.corpus", fmt="iceberg",
+                         snapshot_id=100)
+    m1 = build_index(df, out, text_col="text", n_shards=2,
+                     source_snapshot=fp, resume=True)
+    assert m1["metrics"]["stage_postings_sec"] > 0
+    assert m1["n_docs"] == 30
+
+    # same pin -> all stages skipped (resume by snapshot fingerprint)
+    df, fp_same = load_corpus(fake, "warehouse.db.corpus", fmt="iceberg",
+                              snapshot_id=100)
+    m2 = build_index(df, out, text_col="text", n_shards=2,
+                     source_snapshot=fp_same, resume=True)
+    for stage in ("postings", "doc_stats", "encode", "term_stats"):
+        assert m2["metrics"][f"stage_{stage}_sec"] == 0.0, stage
+
+    # new snapshot of the same table -> fingerprint differs -> full re-run
+    df3, fp3 = load_corpus(fake, "warehouse.db.corpus", fmt="iceberg",
+                           snapshot_id=200)
+    assert fp3 != fp_same
+    m3 = build_index(df3, out, text_col="text", n_shards=2,
+                     source_snapshot=fp3, resume=True)
+    assert m3["metrics"]["stage_postings_sec"] > 0
+    assert m3["n_docs"] == 50
