@@ -115,6 +115,15 @@ def main():
         )
     )
     spark.stop()
+    # keep BENCH/TREND.json current (idempotent rebuild from the
+    # driver-recorded BENCH_r*.json round snapshots)
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.append_trend import rebuild
+
+        rebuild()
+    except Exception:
+        pass  # trend upkeep must never fail the bench
 
 
 if __name__ == "__main__":

@@ -62,12 +62,18 @@ def test_minhash_signatures_zero_shuffle(spark):
 
 
 def test_simhash_single_shuffle(spark):
-    """SimHash = one hash aggregation over doc_id: exactly one pair of
-    exchanges (partial+final HashAggregate), never the 60x bit-row
-    explode (which showed as Generate + a second Exchange)."""
+    """SimHash = exactly ONE shuffle of the raw posting rows (repartition
+    by doc_id) into the vectorized Arrow kernel — never the 60x bit-row
+    explode (a Generate over a bit array + a SECOND exchange), and no
+    60-column codegen aggregation either."""
     plan = _plan(spark, "simhash")
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
-    assert "Generate explode" not in plan.split("HashAggregate")[0]
+    # the only explode is the tokenizer's map explode upstream of the
+    # shuffle; after the exchange it's sort + MapInPandas, nothing else
+    post_shuffle = plan.split("Exchange hashpartitioning(doc_id")[0]
+    assert "MapInPandas" in post_shuffle
+    assert "Generate explode" not in post_shuffle
+    assert "HashAggregate" not in post_shuffle
 
 
 def test_lsh_bucket_cap_reuses_join_exchange(spark):

@@ -196,29 +196,69 @@ def simhash(postings: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, simhash): count-weighted SimHash over md5 term hashes.
     Input: (doc_id, term, cnt) posting rows.
 
-    Plan: ONE groupBy("doc_id") with ``bits`` conditional sums (map-side
-    partial aggregation shrinks each task's output to one row per doc).
-    An earlier form exploded ``bits`` rows per posting — 60x the posting
-    table through the shuffle plus a second shuffle — for the identical
-    result; at 10^12 files that inflation is the whole job."""
+    Plan: ONE shuffle of the raw posting rows (repartition by doc_id +
+    Tungsten sort) into a boundary-carrying Arrow kernel that computes
+    all ``bits`` bit-sums vectorized in numpy (the encode-stage pattern,
+    index/builder._encode_sorted_stream). Three shapes were measured
+    (tools/query_medians.py, interleaved-round medians at sf0.1):
+
+    - 60x bit-row explode + two shuffles: fast on one box (1.67 s) but
+      shuffles 60x the posting table — at 10^12 files that inflation IS
+      the job; rejected on plan shape.
+    - single groupBy with 60 conditional sums: right shuffle shape but
+      2.6 s — 60 codegen'd when-branches per input row are CPU-bound.
+    - this kernel: same single-shuffle shape, bit-matrix + reduceat in
+      numpy (~1.1 s median) — right plan AND fastest wall clock.
+    """
     p = postings.withColumn(
         "h", F.expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)")
     )
-    contrib = [
-        F.sum(
-            F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), F.col("cnt")).otherwise(
-                -F.col("cnt")
-            )
-        ).alias(f"s{i}")
-        for i in range(bits)
-    ]
-    per_doc = p.groupBy("doc_id").agg(*contrib)
-    sim = F.lit(0).cast("long")
-    for i in range(bits):
-        sim = sim + F.when(
-            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return per_doc.select("doc_id", sim.alias("simhash"))
+    rows = (
+        p.select("doc_id", "cnt", "h")
+        .repartition("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        out_shifts = shifts.astype(np.int64)
+
+        def flush(ids, cnts, hs):
+            change = np.empty(ids.size, dtype=bool)
+            change[0] = True
+            change[1:] = ids[1:] != ids[:-1]
+            starts = np.flatnonzero(change)
+            bitm = (hs[:, None].astype(np.uint64) >> shifts) & np.uint64(1)
+            contrib = np.where(bitm == 1, cnts[:, None], -cnts[:, None])
+            sums = np.add.reduceat(contrib, starts, axis=0)
+            sim = (((sums > 0).astype(np.int64)) << out_shifts).sum(axis=1)
+            return pd.DataFrame({"doc_id": ids[starts], "simhash": sim})
+
+        pend = None  # (ids, cnts, hs) tail group carried across batches
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            cnts = pdf["cnt"].to_numpy(dtype=np.int64)
+            hs = pdf["h"].to_numpy(dtype=np.int64)
+            if pend is not None:
+                ids = np.concatenate([pend[0], ids])
+                cnts = np.concatenate([pend[1], cnts])
+                hs = np.concatenate([pend[2], hs])
+                pend = None
+            # hold the last doc's rows: it may continue in the next batch
+            cut = np.flatnonzero(ids != ids[-1])
+            tail_start = cut[-1] + 1 if cut.size else 0
+            pend = (ids[tail_start:], cnts[tail_start:], hs[tail_start:])
+            if tail_start:
+                yield flush(ids[:tail_start], cnts[:tail_start], hs[:tail_start])
+        if pend is not None and pend[0].size:
+            yield flush(*pend)
+
+    return rows.mapInPandas(kernel, "doc_id long, simhash long")
 
 
 def simhash_near_pairs(

@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 100k-row Arrow batches: the encode kernel's per-batch overhead
+        # (pandas concat + boundary diff) was measured material at the
+        # 10k default on 28M-row posting streams; posting rows are ~30B
+        # so a batch is still only a few MB
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.session.timeZone", "UTC")
         # InferFiltersFromGenerate infers size(term_counts)>0 below the
         # postings explode and DUPLICATES the Arrow tokenize UDF (observed:

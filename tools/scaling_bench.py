@@ -106,7 +106,13 @@ def child(cpus: int, corpus_dir: str) -> None:
     split = max(1 << 20, corpus_bytes // (cpus * 4))
     spark = get_spark(
         app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
-        shuffle_partitions=max(4, cpus),
+        # 4 shuffle partitions per core at BOTH levels: with one
+        # partition per core the 4N config runs the encode shuffle as a
+        # single wave and its slowest partition sets the wall (straggler
+        # cost the N config amortizes over 4 waves) — a scaling artifact,
+        # not real work. 4 waves/core evens both out; same rule a real
+        # cluster uses (partitions = 2-4x total cores).
+        shuffle_partitions=max(4, cpus * 4),
         extra_conf={
             "spark.sql.files.maxPartitionBytes": str(split),
             "spark.sql.files.openCostInBytes": "131072",
