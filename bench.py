@@ -31,7 +31,7 @@ from tfidf_spark.sources.corpus import reference_queries, synth_corpus, with_doc
 HEADLINE = [
     "bm25_topk", "tfidf_topk", "collection_stats", "minhash_lsh_pairs",
     "simhash", "ann_cosine_topk", "lineitem_agg", "revenue_topk",
-    "events_sessions",
+    "events_sessions", "clicks_asof_purchase", "kmv_distinct_terms",
 ]
 
 

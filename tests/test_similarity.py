@@ -76,3 +76,63 @@ def test_knn_join_lsh_shape(emb):
         by_a.setdefault(r["a"], []).append(r)
     assert all(len(v) == 1 for v in by_a.values())
     assert all(r["a"] != r["b"] for r in knn)
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+def test_ivf_centroids_deterministic(emb):
+    from tfidf_spark.operators.similarity import ivf_centroids
+
+    c1 = ivf_centroids(emb, n_centroids=8, seed=13, vec_col="embedding")
+    c2 = ivf_centroids(emb.repartition(7), n_centroids=8, seed=13)
+    assert c1 == c2
+    assert len(c1) == 8 and all(len(v) == DIM for _, v in c1)
+
+
+def test_ivf_assign_covers_all_and_is_pure_expression(emb):
+    from tfidf_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids=8, seed=13)
+    assigned = ivf_assign(emb, cents)
+    assert assigned.filter(F.col("cid").isNull()).count() == 0
+    assert assigned.select("cid").distinct().count() <= 8
+    # zero shuffle: assignment is literal expression work over the scan
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_ivf_probe_all_is_exact(emb, qvec):
+    from tfidf_spark.operators.similarity import (
+        ann_topk_ivf,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = ivf_centroids(data, n_centroids=8, seed=13)
+    got = ann_topk_ivf(ivf_assign(data, cents), cents, qvec, k=10, nprobe=8).collect()
+    want = cosine_topk(data, qvec, k=10).collect()
+    assert [(r["vec_id"], r["cos_r"]) for r in got] == [
+        (r["vec_id"], r["cos_r"]) for r in want
+    ]
+
+
+def test_ivf_small_nprobe_recall(emb, qvec):
+    from tfidf_spark.operators.similarity import (
+        ann_topk_ivf,
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = ivf_centroids(data, n_centroids=8, seed=13)
+    assigned = ivf_assign(data, cents).cache()
+    approx = {
+        r["vec_id"]
+        for r in ann_topk_ivf(assigned, cents, qvec, k=10, nprobe=3).collect()
+    }
+    exact = {r["vec_id"] for r in cosine_topk(data, qvec, k=10).collect()}
+    # nprobe=3/8 on random gaussian data: meaningful but partial recall,
+    # and every returned id must be a genuinely scored candidate
+    assert len(approx & exact) >= 3
+    assert approx <= {r["vec_id"] for r in assigned.collect()}

@@ -144,3 +144,95 @@ def test_stateful_dedup_fn_chunked():
     out2 = pd.concat(list(_dedup_fn(("h",), chunks2, st)), ignore_index=True)
     assert out2["is_dup"].all() and out2["keeper_id"].eq(1).all()
     assert st.get == (1, 7)
+
+
+def test_stream_sessions(spark, tmp_path):
+    """Streaming session_window sessions match the batch gap-rule
+    sessionizer on a fixture with no exact-gap ties (where the two
+    semantics provably coincide — see stream_sessions docstring)."""
+    import datetime as dt
+
+    from tfidf_spark.streaming.ingest import stream_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two sessions (gap of 45 min > 30 min splits)
+        (1, m(0)), (1, m(10)), (1, m(20)),
+        (1, m(65)), (1, m(70)),
+        # user 2: one session, single event
+        (2, m(5)),
+        # user 3: three sessions
+        (3, m(0)), (3, m(40)), (3, m(80)),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "sess_out")
+    q = (
+        stream_sessions(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # append-mode session output only finalizes windows the watermark
+    # passed; a second batch far in the future closes the rest
+    late = [(9, m(100 * 60))]
+    spark.createDataFrame(late, "user_id long, ts timestamp").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = (
+        stream_sessions(stream2)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    per_user = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in got.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .collect()
+    }
+    assert per_user[1] == (2, 5)
+    assert per_user[2] == (1, 1)
+    assert per_user[3] == (3, 3)
+    # session bounds: user 1's first session spans [0, 20min] + 30min gap
+    s1 = sorted(
+        [
+            (r["session_start_us"], r["session_end_us"], r["n_events"])
+            for r in got.filter(F.col("user_id") == 1).collect()
+        ]
+    )
+    base_us = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) * 1_000_000
+    assert s1[0][0] == base_us
+    assert s1[0][1] == base_us + (20 + 30) * 60 * 1_000_000
+    assert s1[0][2] == 3

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tfidf_spark.operators import dedup, similarity, textstats
+from tfidf_spark.operators import dedup, relational, similarity, sketches, textstats
 from tfidf_spark.operators.postings import (
     build_postings,
     corpus_stats,
@@ -555,6 +555,100 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_clicks_asof_purchase(spark, sf_dir):
+    """As-of join (driver brief: an operator Spark lacks natively) as
+    funnel attribution: each click attributes to the same user's most
+    recent purchase at-or-before the click (ties -> max event_id).
+    Union + window carry-forward — ONE shuffle, never a
+    BroadcastNestedLoopJoin (plan test in test_relational.py). Inner
+    semantics: clicks with no preceding purchase are dropped."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    out = relational.asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="pts",
+        right_payload=["purchase_id", "value"],
+        tie_break="purchase_id",
+    )
+    return out.filter(F.col("asof_purchase_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("asof_purchase_id").alias("asof_purchase_id"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+def q_events_range_join(spark, sf_dir):
+    """Range join via interval bucketing (driver brief): events landing
+    in the hour after a purchase by the same user ([ts, ts+1h)),
+    aggregated per purchase. Equi shuffle join on (user_id, bucket) +
+    exact range filter — never a nested-loop theta join."""
+    hour_us = 3600 * 1_000_000
+    events = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = events.select("user_id", "event_id", "value", ts_us.alias("pt"))
+    ivs = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        ts_us.alias("lo"),
+        (ts_us + F.lit(hour_us)).alias("hi"),
+    )
+    joined = relational.range_join_buckets(
+        pts, ivs, "pt", "lo", "hi", bucket_width=hour_us,
+        equi_keys=["user_id"],
+    ).filter(F.col("event_id") != F.col("purchase_id"))
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_follow"),
+        F.round(F.sum("value"), 4).alias("sum_value_r"),
+    )
+
+
+def q_kmv_distinct_terms(spark, sf_dir):
+    """KMV distinct-count sketch over the term vocabulary — deterministic
+    (md5 order statistics), so the DuckDB oracle checks the ESTIMATE
+    itself, not just a row count. At sf0.01 the vocabulary is smaller
+    than k: this entry gates the exact small-cardinality path;
+    kmv_distinct_docs gates the estimation path."""
+    return sketches.kmv_distinct(
+        _doc_postings(spark, sf_dir).select("term"), "term", k=256
+    )
+
+
+def q_kmv_distinct_docs(spark, sf_dir):
+    """KMV with universe > k (distinct content hashes at k=64): the
+    (k-1)/m ESTIMATOR itself is hash-gated against DuckDB."""
+    hashed = _t(spark, sf_dir, "documents").select(
+        F.sha2(F.col("text"), 256).alias("v")
+    )
+    return sketches.kmv_distinct(hashed, "v", k=64)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic seeded centroids, JVM-side assignment,
+    nprobe-pruned exact scoring. Probing ALL centroids here makes the
+    result exactly brute force — the oracle anchor; recall at small
+    nprobe is covered in test_similarity.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.ivf_centroids(data, n_centroids=16, seed=13)
+    assigned = similarity.ivf_assign(data, cents)
+    return similarity.ann_topk_ivf(
+        assigned, cents, [float(x) for x in qvec], k=20, nprobe=16
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -599,6 +693,11 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sliding_24h": q_events_sliding_24h,
     "events_sessions": q_events_sessions,
+    "clicks_asof_purchase": q_clicks_asof_purchase,
+    "events_range_join": q_events_range_join,
+    "kmv_distinct_terms": q_kmv_distinct_terms,
+    "kmv_distinct_docs": q_kmv_distinct_docs,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 # Shared DuckDB CTE prelude for token-level oracles. The simple char-class
@@ -979,4 +1078,57 @@ ORACLES = {
                         THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
                COUNT(*)::BIGINT AS n_events
         FROM g GROUP BY 1""",
+    "clicks_asof_purchase": """
+        SELECT event_id, user_id, asof_purchase_id, asof_value FROM (
+          SELECT c.event_id, c.user_id,
+                 p.event_id AS asof_purchase_id,
+                 p.value AS asof_value,
+                 row_number() OVER (
+                   PARTITION BY c.event_id
+                   ORDER BY p.ts DESC, p.event_id DESC) AS rn
+          FROM events c JOIN events p
+            ON p.user_id = c.user_id AND p.ts <= c.ts
+           AND c.event_type = 'click' AND p.event_type = 'purchase')
+        WHERE rn = 1""",
+    "events_range_join": """
+        SELECT p.event_id AS purchase_id, COUNT(*)::BIGINT AS n_follow,
+               round(SUM(e.value), 4) AS sum_value_r
+        FROM events p JOIN events e
+          ON e.user_id = p.user_id
+         AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+         AND e.event_id <> p.event_id
+        WHERE p.event_type = 'purchase'
+        GROUP BY 1""",
+    "kmv_distinct_terms": _TOKS + """
+        , hs AS (
+          SELECT DISTINCT ('0x' || substr(md5(term), 1, 15))::BIGINT::DOUBLE
+                          / 1152921504606846976.0 AS hf
+          FROM p),
+        topk AS (SELECT hf FROM hs ORDER BY hf LIMIT 256)
+        SELECT 256::BIGINT AS k, COUNT(*)::BIGINT AS n_kept,
+               round(MAX(hf), 6) AS kth_frac_r,
+               round(CASE WHEN COUNT(*) < 256 THEN COUNT(*)::DOUBLE
+                     ELSE 255.0 / MAX(hf) END, 2) AS est_distinct_r
+        FROM topk""",
+    "kmv_distinct_docs": """
+        WITH hs AS (
+          SELECT DISTINCT ('0x' || substr(md5(sha256(text)), 1, 15))::BIGINT::DOUBLE
+                          / 1152921504606846976.0 AS hf
+          FROM documents),
+        topk AS (SELECT hf FROM hs ORDER BY hf LIMIT 64)
+        SELECT 64::BIGINT AS k, COUNT(*)::BIGINT AS n_kept,
+               round(MAX(hf), 6) AS kth_frac_r,
+               round(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                     ELSE 63.0 / MAX(hf) END, 2) AS est_distinct_r
+        FROM topk""",
+    "ann_ivf_topk": """
+        WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
+        z AS (
+          SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+                 unnest((SELECT e FROM q))::DOUBLE AS y
+          FROM embeddings WHERE vec_id <> 0),
+        s AS (SELECT vec_id, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+              FROM z GROUP BY 1)
+        SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_r
+        FROM s ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC, vec_id LIMIT 20""",
 }

@@ -105,6 +105,88 @@ def ann_topk_lsh(
     return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF "training": the ``n_centroids`` data vectors
+    with the smallest md5(seed:vec_id) become the centroids (a seeded
+    uniform sample — no iterative k-means, so the partition layout is
+    reproducible across engines/runs; a Lloyd refinement would drop the
+    determinism the hash gate needs without changing the plan shape).
+    Returns [(centroid_id, vector)] for the driver to broadcast; size is
+    n_centroids * dim floats — trivially broadcastable."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    rows = (
+        emb.select(F.col(id_col), F.col(vec_col))
+        .orderBy(h, F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a ``cid`` column: the centroid with the highest cosine to each
+    vector (ties -> larger cid, via struct max — an explicit total order).
+    Pure JVM expression work, zero shuffle: the centroid list rides into
+    the plan as literals, the argmax is array_max over a struct array.
+    At scale this is the IVF partitioning step: writing the output
+    partitioned by cid gives each posting list its own files, so a query
+    probing nprobe centroids prunes the scan to nprobe directories."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(vec_col, F.array(*[F.lit(float(x)) for x in vec]))
+                    / (_norm(vec_col) * _norm(F.array(*[F.lit(float(x)) for x in vec]))),
+                    6,
+                ).alias("cos"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return emb.withColumn("cid", F.array_max(scored)["cid"])
+
+
+def ann_topk_ivf(
+    emb_assigned: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query on the driver
+    (n_centroids tiny), exact-score only vectors assigned to the nprobe
+    nearest centroids. Work per query is O(N * nprobe / n_centroids)
+    expected; with cid-partitioned storage the scan itself prunes.
+    ``nprobe >= len(centroids)`` degenerates to exact brute force — the
+    correctness anchor the oracle checks; recall at small nprobe is the
+    approximation knob (tested in test_similarity.py)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+
+    def cos(vec: list[float]) -> float:
+        v = np.asarray(vec, dtype=np.float64)
+        nv = float(np.sqrt((v * v).sum())) or 1.0
+        return float(v @ q) / (nv * qn)
+
+    ranked = sorted(centroids, key=lambda c: (-cos(c[1]), c[0]))
+    probes = [cid for cid, _ in ranked[: max(1, nprobe)]]
+    cand = emb_assigned.filter(F.col("cid").isin(probes))
+    return cosine_topk(cand, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def knn_join_lsh(
     emb_bucketed: DataFrame,
     k: int = 1,

@@ -87,3 +87,37 @@ def stream_metrics_24h(
         .groupBy(F.window(F.col(ts_col), "24 hours", slide))
         .agg(F.count(F.lit(1)).alias("files_processed_last_24h"))
     )
+
+
+def stream_sessions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization with Spark's native session_window —
+    state merges windows whose events are < gap apart and finalizes a
+    session once the watermark passes its end. The streaming analog of
+    the batch lag+flag sessionizer (entrypoints.q_events_sessions).
+
+    Boundary semantics differ at EXACTLY gap: the batch rule keeps
+    gap == 30 min in one session (``gap > 30min`` splits), while
+    session_window extends a window to [ts, ts+gap) so an event exactly
+    gap later starts a NEW session. Equal on any input without exact-gap
+    ties; documented rather than papered over.
+
+    Output per finalized session: (key, session_start_us, session_end_us,
+    n_events) — epoch micros, never raw timestamps (driver hash rule).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )

@@ -286,6 +286,19 @@ def orchestrate() -> None:
         for i, w in enumerate(windows)
     )
     os.makedirs("BENCH", exist_ok=True)
+    # preserve the marker-delimited per-query-medians section that
+    # tools/query_medians.py maintains in this file
+    medians_block = ""
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            prev = f.read()
+        begin, end = "<!-- QUERY_MEDIANS -->", "<!-- /QUERY_MEDIANS -->"
+        if begin in prev and end in prev:
+            medians_block = (
+                "\n" + prev[prev.index(begin): prev.index(end) + len(end)] + "\n"
+            )
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N -> 4N cores)
 
@@ -357,7 +370,7 @@ completeness, not a criterion.
 Stage walls at local[{LEVELS[0]}]: {json.dumps(a['stage_walls'])}
 Stage walls at local[{LEVELS[1]}]: {json.dumps(b['stage_walls'])}
 Stage walls at local[{SUPPLEMENTARY}]: {json.dumps(s['stage_walls'])}
-""")
+""" + medians_block)
     print(f"\nmedian efficiency={median_eff:.3f} across {len(windows)} windows "
           f"-> BENCH/BASELINE.md")
 
