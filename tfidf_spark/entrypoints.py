@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tfidf_spark.operators import dedup, relational, similarity, sketches, textstats
+from tfidf_spark.operators import (
+    dedup,
+    relational,
+    security,
+    similarity,
+    sketches,
+    textstats,
+)
 from tfidf_spark.operators.postings import (
     build_postings,
     corpus_stats,
@@ -649,6 +656,48 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_rls_scoped_docs(spark, sf_dir):
+    """Row-level security as a policy join (SURVEY.md §2.2 P3 — the
+    reference's per-request ownership 403 re-expressed as data): the
+    principal's grants semi-join the fact table BEFORE the query runs.
+    Grants here: alice holds every source whose numeric suffix % 3 == 0
+    (derived deterministically so the oracle can replicate the ACL)."""
+    docs = _t(spark, sf_dir, "documents")
+    grants = (
+        docs.select("source").distinct()
+        .filter(F.substring("source", 4, 10).cast("int") % 3 == 0)
+        .select(F.lit("alice").alias("principal"), F.col("source").alias("scope"))
+    )
+    secured = security.apply_row_policy(docs, grants, "alice", "source")
+    return secured.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+def q_events_hypertable_daily(spark, sf_dir):
+    """Hypertable-style continuous aggregate (driver brief): daily stats
+    computed by MERGING materialized hourly partials (sum-of-counts,
+    sum-of-sums) instead of re-scanning raw events — the two-level
+    rollup a time-series store maintains incrementally. The oracle
+    aggregates the raw table directly, proving partial-merge identity."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.sum("n").cast("long").alias("n_events"),
+            F.round(F.sum("v"), 4).alias("sum_value_r"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -698,6 +747,8 @@ QUERIES = {
     "kmv_distinct_terms": q_kmv_distinct_terms,
     "kmv_distinct_docs": q_kmv_distinct_docs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "rls_scoped_docs": q_rls_scoped_docs,
+    "events_hypertable_daily": q_events_hypertable_daily,
 }
 
 # Shared DuckDB CTE prelude for token-level oracles. The simple char-class
@@ -1121,6 +1172,17 @@ ORACLES = {
                round(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
                      ELSE 63.0 / MAX(hf) END, 2) AS est_distinct_r
         FROM topk""",
+    "rls_scoped_docs": """
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM(n_chars)::BIGINT AS sum_chars
+        FROM documents
+        WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+        GROUP BY 1""",
+    "events_hypertable_daily": """
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*)::BIGINT AS n_events,
+               round(SUM(value), 4) AS sum_value_r
+        FROM events GROUP BY 1""",
     "ann_ivf_topk": """
         WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         z AS (

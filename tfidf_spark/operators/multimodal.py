@@ -5,11 +5,13 @@ Arrow-batched kernels over mapInPandas.
 The Spark-side plumbing (schemas, partition sizing, UDF signatures,
 batch shapes) is real and tested. Codecs:
 
-- ``StdlibCodec`` (the default): REAL image + audio decode with zero
-  external deps — a pure-stdlib PNG decoder (zlib inflate + all five
-  scanline defilters incl. Paeth, functions/png.py) and PCM16 WAV via
-  the stdlib ``wave`` module. Video frame sampling alone stays a
-  NotImplementedError plug-in point (container ships no mp4 demuxer).
+- ``StdlibCodec`` (the default): REAL decode on all three modalities
+  with zero external deps — a pure-stdlib PNG decoder (zlib inflate +
+  all five scanline defilters incl. Paeth, functions/png.py), PCM16 WAV
+  via the stdlib ``wave`` module, and an uncompressed-DIB RIFF-AVI
+  demuxer whose frame sampler skips unselected frames without reading
+  their bytes (functions/avi.py). Compressed video (h264/vp9) raises
+  with a routing message — those need external decoders by nature.
 - ``DeterministicFakeCodec``: seeded, shape-correct stand-in kept for
   pipeline tests that need payloads cheaper than real encodes.
 - ``LibraryCodec``: the plug-in base a real deployment overrides with
@@ -58,8 +60,10 @@ class LibraryCodec:
 
 class StdlibCodec(LibraryCodec):
     """Real decode for the formats a pure-stdlib container can handle:
-    PNG images (functions/png.py) and PCM16 WAV audio. Video frame
-    sampling still requires an external demuxer."""
+    PNG images (functions/png.py), PCM16 WAV audio, and uncompressed-DIB
+    AVI video (functions/avi.py) — the frame sampler walks chunk headers
+    and never reads skipped frames' bytes. Compressed video (h264 etc.)
+    still raises via LibraryCodec: transcode upstream or plug in pyav."""
 
     def decode_image(self, payload: bytes) -> np.ndarray:
         from tfidf_spark.functions.png import png_decode
@@ -70,6 +74,11 @@ class StdlibCodec(LibraryCodec):
         from tfidf_spark.functions.png import wav_decode
 
         return wav_decode(payload)
+
+    def sample_frames(self, payload: bytes, every_ms: int) -> list[np.ndarray]:
+        from tfidf_spark.functions.avi import avi_sample_frames
+
+        return avi_sample_frames(payload, every_ms)
 
 
 class DeterministicFakeCodec(LibraryCodec):
@@ -93,12 +102,8 @@ class DeterministicFakeCodec(LibraryCodec):
 
 
 class PipelineCodec(StdlibCodec):
-    """The default pipeline codec: REAL PNG/WAV decode; video frame
-    sampling falls back to the seeded fake until a demuxer is plugged
-    in (the one remaining stub, clearly marked in StdlibCodec)."""
-
-    def sample_frames(self, payload: bytes, every_ms: int) -> list[np.ndarray]:
-        return DeterministicFakeCodec().sample_frames(payload, every_ms)
+    """The default pipeline codec: REAL decode on all three modalities —
+    PNG images, PCM16 WAV audio, uncompressed-DIB AVI video."""
 
 
 def media_repartition(df: DataFrame, target_bytes: int = 256 << 20) -> DataFrame:
@@ -158,10 +163,11 @@ def extract_features(
 
 
 def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media table matching MEDIA_SCHEMA. Image rows carry
-    REAL PNG byte streams and audio rows REAL PCM16 WAV byte streams
-    (functions/png.py encoders), so the decode path downstream exercises
-    genuine codecs; video payloads stay opaque seeded bytes."""
+    """Deterministic media table matching MEDIA_SCHEMA. Every modality
+    carries a REAL byte stream — PNG images, PCM16 WAV audio, and
+    uncompressed-DIB AVI video (functions/png.py + functions/avi.py
+    encoders) — so the decode path downstream exercises genuine codecs."""
+    from tfidf_spark.functions.avi import avi_encode
     from tfidf_spark.functions.png import png_encode, wav_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,7 +186,11 @@ def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
                         rng.standard_normal(1600).astype(np.float32) * 0.3
                     )
                 else:
-                    payload = rng.bytes(256 + (i % 7) * 64)
+                    frames = [
+                        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                        for _ in range(8)
+                    ]
+                    payload = avi_encode(frames, fps=2)
                 rows.append(
                     {
                         "media_id": i,
