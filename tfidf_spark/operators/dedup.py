@@ -200,15 +200,18 @@ def simhash(postings: DataFrame, bits: int = 60) -> DataFrame:
     Tungsten sort) into a boundary-carrying Arrow kernel that computes
     all ``bits`` bit-sums vectorized in numpy (the encode-stage pattern,
     index/builder._encode_sorted_stream). Three shapes were measured
-    (tools/query_medians.py, interleaved-round medians at sf0.1):
+    under the interleaved-round median protocol (tools/query_medians.py,
+    sf0.1; numbers live in BENCH/QUERY_MEDIANS.json, kept out of this
+    docstring because the host's absolute timings drift 2x day to day):
 
-    - 60x bit-row explode + two shuffles: fast on one box (1.67 s) but
+    - 60x bit-row explode + two shuffles: lowest local wall time, but it
       shuffles 60x the posting table — at 10^12 files that inflation IS
-      the job; rejected on plan shape.
+      the job; rejected on plan shape regardless of local stopwatch.
     - single groupBy with 60 conditional sums: right shuffle shape but
-      2.6 s — 60 codegen'd when-branches per input row are CPU-bound.
+      consistently ~2x slower than this kernel — 60 codegen'd
+      when-branches per input row are CPU-bound.
     - this kernel: same single-shuffle shape, bit-matrix + reduceat in
-      numpy (~1.1 s median) — right plan AND fastest wall clock.
+      numpy — the fastest form that keeps shuffle volume = input size.
     """
     p = postings.withColumn(
         "h", F.expr("cast(conv(substring(md5(term), 1, 15), 16, 10) as bigint)")
@@ -223,19 +226,43 @@ def simhash(postings: DataFrame, bits: int = 60) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        shifts = np.arange(bits, dtype=np.uint64)
-        out_shifts = shifts.astype(np.int64)
+        out_shifts = np.arange(bits, dtype=np.int64)
+        # group-aligned slice size: caps the (rows x bits) working set at
+        # a few MB so the kernel stays cache-resident instead of streaming
+        # ~100 MB of int64 temporaries per 100k-row Arrow batch (measured
+        # 2-3x slower under host memory-bandwidth contention)
+        slice_rows = 16384
 
         def flush(ids, cnts, hs):
             change = np.empty(ids.size, dtype=bool)
             change[0] = True
             change[1:] = ids[1:] != ids[:-1]
             starts = np.flatnonzero(change)
-            bitm = (hs[:, None].astype(np.uint64) >> shifts) & np.uint64(1)
-            contrib = np.where(bitm == 1, cnts[:, None], -cnts[:, None])
-            sums = np.add.reduceat(contrib, starts, axis=0)
-            sim = (((sums > 0).astype(np.int64)) << out_shifts).sum(axis=1)
-            return pd.DataFrame({"doc_id": ids[starts], "simhash": sim})
+            # bit matrix via unpackbits on the little-endian byte view:
+            # (rows, bits) uint8 where column i == (h >> i) & 1
+            byte_view = hs.astype("<u8").view(np.uint8).reshape(-1, 8)
+            cnts32 = cnts.astype(np.int32)
+            sims = np.empty(starts.size, dtype=np.int64)
+            g = 0  # group cursor
+            while g < starts.size:
+                # extend the slice to the last group boundary <= g+rows
+                g_end = int(
+                    np.searchsorted(starts, starts[g] + slice_rows, side="left")
+                )
+                g_end = max(g + 1, min(g_end, starts.size))
+                r0 = starts[g]
+                r1 = starts[g_end] if g_end < starts.size else ids.size
+                bitm = np.unpackbits(
+                    byte_view[r0:r1], axis=1, bitorder="little"
+                )[:, :bits].astype(np.int32)
+                # contrib = cnt where bit set else -cnt == (2*bit-1)*cnt
+                contrib = (2 * bitm - 1) * cnts32[r0:r1, None]
+                sums = np.add.reduceat(contrib, starts[g:g_end] - r0, axis=0)
+                sims[g:g_end] = (
+                    (sums > 0).astype(np.int64) << out_shifts
+                ).sum(axis=1)
+                g = g_end
+            return pd.DataFrame({"doc_id": ids[starts], "simhash": sims})
 
         pend = None  # (ids, cnts, hs) tail group carried across batches
         for pdf in batches:

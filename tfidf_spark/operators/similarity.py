@@ -134,27 +134,40 @@ def ivf_assign(
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Add a ``cid`` column: the centroid with the highest cosine to each
-    vector (ties -> larger cid, via struct max — an explicit total order).
-    Pure JVM expression work, zero shuffle: the centroid list rides into
-    the plan as literals, the argmax is array_max over a struct array.
+    """Add a ``cid`` column: the centroid with the highest cosine
+    (rounded to 6) to each vector; ties -> larger cid (an explicit total
+    order). Zero shuffle: a mapInPandas kernel carries the tiny centroid
+    matrix in its closure and scores each Arrow batch with ONE BLAS
+    matmul — an earlier form built 16 nested zip_with/aggregate literal
+    expressions per row, which spent seconds in codegen and evaluated
+    k folds per row instead of one (n x dim) @ (dim x k).
     At scale this is the IVF partitioning step: writing the output
     partitioned by cid gives each posting list its own files, so a query
     probing nprobe centroids prunes the scan to nprobe directories."""
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _dot(vec_col, F.array(*[F.lit(float(x)) for x in vec]))
-                    / (_norm(vec_col) * _norm(F.array(*[F.lit(float(x)) for x in vec]))),
-                    6,
-                ).alias("cos"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, vec in centroids
-        ]
-    )
-    return emb.withColumn("cid", F.array_max(scored)["cid"])
+    cids = np.array([int(c) for c, _ in centroids], dtype=np.int64)
+    cmat = np.array([v for _, v in centroids], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+            vnorm = np.sqrt((vm * vm).sum(axis=1))
+            vnorm[vnorm == 0] = 1.0
+            cos = np.round((vm @ cmat.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+            # argmax with larger-cid tie-break: scan reversed cid order
+            order = np.argsort(-cids)  # high cid first
+            best = order[np.argmax(cos[:, order], axis=1)]
+            pdf = pdf.copy()
+            pdf["cid"] = cids[best]
+            yield pdf
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(emb.schema.fields) + [StructField("cid", LongType())])
+    return emb.mapInPandas(kernel, out_schema)
 
 
 def ann_topk_ivf(

@@ -31,6 +31,8 @@ from tfidf_spark import entrypoints
 QUERIES = [
     "bm25_topk", "tfidf_topk", "collection_stats", "minhash_lsh_pairs",
     "simhash", "ann_cosine_topk", "revenue_topk",
+    "clicks_asof_purchase", "events_range_join", "kmv_distinct_terms",
+    "ann_ivf_topk",
 ]
 
 
