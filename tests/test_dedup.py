@@ -58,25 +58,23 @@ def test_minhash_lsh_surfaces_near_dups(docs):
 
 
 def test_minhash_matches_exploded_form(docs):
-    """The zero-shuffle array MinHash must equal min(md5(seed:s)) over the
-    exploded shingle rows (the definitional form / the DuckDB oracle)."""
+    """The zero-shuffle array MinHash must equal min(h(s) XOR k_seed)
+    over the exploded shingle rows (the definitional form / the DuckDB
+    oracle), with h and k computed independently here in Python."""
+    import hashlib
+
     sig = {
         (r["doc_id"], r["seed"]): r["minhash"]
         for r in minhash_signatures(doc_shingle_arrays(docs)).collect()
     }
-    sh = doc_shingles(docs)
-    seeds = sh.sparkSession.range(8).select(F.col("id").cast("int").alias("seed"))
-    ref = {
-        (r["doc_id"], r["seed"]): r["mh"]
-        for r in sh.crossJoin(F.broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("s")))
-            ).alias("mh")
-        )
-        .collect()
-    }
+    shingle_rows = doc_shingles(docs).collect()
+    ks = {s: int(hashlib.md5(str(s).encode()).hexdigest()[:15], 16) for s in range(8)}
+    ref: dict = {}
+    for r in shingle_rows:
+        h = int(hashlib.md5(r["s"].encode()).hexdigest()[:15], 16)
+        for s, k in ks.items():
+            key = (r["doc_id"], s)
+            ref[key] = min(ref.get(key, 1 << 62), h ^ k)
     assert sig == ref
 
 

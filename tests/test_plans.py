@@ -61,6 +61,17 @@ def test_minhash_signatures_zero_shuffle(spark):
     assert plan.count("ArrowEvalPython") == 1  # one tokenize/shingle pass
 
 
+def test_minhash_hashes_each_shingle_once(spark):
+    """Hash-once contract: the md5 transform over the shingle array must
+    appear ONCE in the plan, with the 8 seed permutations as integer
+    xors over the shared array — CollapseProject must not inline the
+    non-cheap hs projection into every seed expression (that would put
+    8 md5 passes back on every shingle)."""
+    plan = _plan(spark, "minhash_signature")
+    assert plan.count("md5") == 1
+    assert plan.count("array_min") == 8
+
+
 def test_simhash_single_shuffle(spark):
     """SimHash = exactly ONE shuffle of the raw posting rows (repartition
     by doc_id) into the vectorized Arrow kernel — never the 60x bit-row

@@ -846,14 +846,18 @@ ORACLES = {
           JOIN sizes sb ON sb.doc_id = i.b)
         SELECT a, b, jac_r FROM jac ORDER BY jac_r DESC, a, b LIMIT 100""",
     "minhash_signature": _SHINGLES + """
-        SELECT doc_id, seed::INT AS seed, MIN(md5(seed::VARCHAR || ':' || s)) AS minhash
-        FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
-        GROUP BY 1, 2""",
+        , hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+        ks AS (SELECT seed, ('0x' || substr(md5(seed::VARCHAR), 1, 15))::BIGINT AS k
+               FROM (SELECT unnest(generate_series(0, 7)) AS seed))
+        SELECT doc_id, seed::INT AS seed, MIN(xor(h, k)) AS minhash
+        FROM hs, ks GROUP BY 1, 2""",
     "minhash_lsh_pairs": _SHINGLES + """
-        , sig AS (
-          SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || s)) AS minhash
-          FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed)
-          GROUP BY 1, 2),
+        , hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+        ks AS (SELECT seed, ('0x' || substr(md5(seed::VARCHAR), 1, 15))::BIGINT AS k
+               FROM (SELECT unnest(generate_series(0, 7)) AS seed)),
+        sig AS (
+          SELECT doc_id, seed, MIN(xor(h, k)) AS minhash
+          FROM hs, ks GROUP BY 1, 2),
         capped AS (
           SELECT doc_id, seed, minhash FROM (
             SELECT doc_id, seed, minhash,

@@ -7,14 +7,23 @@
 - ``content_sha256``: the per-row content-fidelity invariant
   (BASELINE.json input_hint), replacing the reference's salted md5 dedup
   key (reference: app/services/__init__.py:1-17).
-- ``portable_min_hash_expr``: MinHash built on md5 hex strings, chosen
-  because md5 is bit-identical across Spark, DuckDB and Python — the
-  signatures are therefore oracle-checkable. Ordering md5 hex strings
-  lexicographically is a valid uniform hash order (hex of a uniform
-  128-bit value), so ``min(md5(seed || shingle))`` is a proper MinHash.
+- ``shingle_hash_expr`` / ``seed_xor_constant``: the MinHash hash
+  family. Each shingle is md5-hashed ONCE into a 60-bit integer; the
+  per-seed permutations are XORs with md5-derived seed constants —
+  bijections on the hash space, so ``min(h(s) XOR k_seed)`` is a valid
+  MinHash component (the xor family is the standard cheap-permutation
+  choice in production LSH; xxhash-style seeded rehash costs another
+  full hash per seed for no extra independence in practice). An earlier
+  form computed ``md5(seed || shingle)`` per seed — 8 full md5 passes
+  over every shingle; at 10^12 documents the signature stage IS the md5
+  cost, so hash-once matters. Everything stays bit-identical across
+  Spark, DuckDB and Python (md5 + integer xor), keeping the signatures
+  oracle-checkable.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -31,14 +40,30 @@ def content_sha256(content_col: str | Column = "content") -> Column:
     return F.sha2(c, 256)
 
 
-def portable_min_hash_expr(shingles_col: Column, seed: int) -> Column:
-    """min over shingles of md5(seed:shingle) — a portable MinHash component.
+def shingle_hash_expr(shingles_col: Column) -> Column:
+    """array<bigint>: 60-bit hash per shingle — md5 computed ONCE,
+    reused by every seed's permutation. 15 hex chars keep the value in
+    signed-int64 range for both Spark and DuckDB
+    (``('0x' || substr(md5(s), 1, 15))::BIGINT``)."""
+    return F.transform(
+        shingles_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
 
-    Returns a 32-hex-char string; NULL when the shingle array is empty.
-    """
+
+def seed_xor_constant(seed: int) -> int:
+    """60-bit xor-permutation constant for a seed: the same
+    md5-of-decimal-string both engines compute
+    (DuckDB: ``('0x' || substr(md5(seed::VARCHAR), 1, 15))::BIGINT``)."""
+    return int(hashlib.md5(str(seed).encode()).hexdigest()[:15], 16)
+
+
+def portable_min_hash_expr(hashes_col: Column, seed: int) -> Column:
+    """min over pre-hashed shingles of ``h XOR k_seed`` — one MinHash
+    component as a bigint; NULL when the array is empty. Takes the
+    OUTPUT of ``shingle_hash_expr`` so the md5 work is shared across
+    seeds."""
+    k = seed_xor_constant(seed)
     return F.array_min(
-        F.transform(
-            shingles_col,
-            lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)),
-        )
+        F.transform(hashes_col, lambda h: h.bitwiseXOR(F.lit(k)))
     )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from tfidf_spark.functions.hashing import portable_min_hash_expr
+from tfidf_spark.functions.hashing import portable_min_hash_expr, shingle_hash_expr
 from tfidf_spark.functions.tokenize import shingles_udf
 
 
@@ -62,21 +62,26 @@ def doc_shingle_arrays(
 
 
 def minhash_signatures(shingle_arrays: DataFrame, n_seeds: int = 8) -> DataFrame:
-    """(doc_id, seed, minhash): md5-hex MinHash, portable across engines.
+    """(doc_id, seed, minhash): hash-once xor-permuted MinHash (bigint),
+    portable across engines (functions/hashing.py).
 
     Input: ``doc_shingle_arrays`` output (doc_id, shingles array).
-    ZERO-shuffle plan: each seed's component is a JVM ``array_min(
-    transform(...md5...))`` over the un-exploded shingle array, then the
-    wide row unpivots via ``stack`` — no crossJoin row inflation, no
-    groupBy. An earlier form exploded shingles and crossJoined the seed
-    table, pushing n_seeds x the shingle rows through a shuffle for the
-    identical signatures. Docs with no shingles (< n tokens) produce no
-    rows, matching the exploded form."""
+    ZERO-shuffle plan: shingles are md5-hashed ONCE into an int array
+    (``hs``); each seed's component is ``array_min(hs XOR k_seed)`` —
+    cheap integer work per extra seed, not another md5 pass. The wide
+    row then unpivots via ``stack`` — no crossJoin row inflation, no
+    groupBy. Catalyst keeps the shared ``hs`` projection un-inlined
+    because it is non-cheap and referenced n_seeds times (asserted by
+    the single-md5 plan test, tests/test_plans.py). Docs with no
+    shingles (< n tokens) produce no rows, matching the exploded form."""
+    hashed = shingle_arrays.select(
+        "doc_id", shingle_hash_expr(F.col("shingles")).alias("hs")
+    )
     mins = [
-        portable_min_hash_expr(F.col("shingles"), s).alias(f"m{s}")
+        portable_min_hash_expr(F.col("hs"), s).alias(f"m{s}")
         for s in range(n_seeds)
     ]
-    wide = shingle_arrays.select("doc_id", *mins)
+    wide = hashed.select("doc_id", *mins)
     stack = ", ".join(f"{s}, m{s}" for s in range(n_seeds))
     return wide.select(
         "doc_id",
