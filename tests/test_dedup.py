@@ -110,3 +110,42 @@ def test_simhash_near_pairs(docs):
     assert near[(1, 2)] == 0
     assert (1, 3) in near and near[(1, 3)] <= 10
     assert (1, 4) not in near or near.get((1, 4), 99) > 10
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C, D~E: {A,B,C} collapse to min id even though (A,C) never
+    paired; {D,E} separate; F (no edges) absent."""
+    from tfidf_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (40, 50)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 40: 40, 50: 40}
+
+
+def test_connected_components_long_chain(spark):
+    """A path graph needs diameter-many propagation rounds — exercises
+    the iteration loop + lineage checkpointing, not just one join."""
+    from tfidf_spark.operators.dedup import connected_components
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_connected_components_on_lsh_pairs(docs):
+    """End-to-end: LSH pairs from the planted corpus produce one cluster
+    holding the exact dup AND the near dup."""
+    from tfidf_spark.operators.dedup import connected_components
+
+    sig = minhash_signatures(doc_shingle_arrays(docs))
+    pairs = lsh_candidate_pairs(sig)
+    got = {r["doc_id"]: r["component_id"]
+           for r in connected_components(pairs.select("a", "b")).collect()}
+    assert got[1] == got[2] == got[3] == 1

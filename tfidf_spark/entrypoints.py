@@ -698,6 +698,18 @@ def q_events_hypertable_daily(spark, sf_dir):
     )
 
 
+def q_dup_components(spark, sf_dir):
+    """Near-dup clusters: transitive closure over the LSH candidate
+    pairs (iterative min-label propagation, dedup.connected_components).
+    The oracle computes the same closure with a recursive CTE — an
+    iterative DataFrame algorithm that is still exactly hash-gated."""
+    sig = dedup.minhash_signatures(
+        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    )
+    pairs = dedup.lsh_candidate_pairs(sig, band_size=1, max_bucket=100)
+    return dedup.connected_components(pairs.select("a", "b"))
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -749,6 +761,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "rls_scoped_docs": q_rls_scoped_docs,
     "events_hypertable_daily": q_events_hypertable_daily,
+    "dup_components": q_dup_components,
 }
 
 # Shared DuckDB CTE prelude for token-level oracles. The simple char-class
@@ -1187,6 +1200,42 @@ ORACLES = {
                COUNT(*)::BIGINT AS n_events,
                round(SUM(value), 4) AS sum_value_r
         FROM events GROUP BY 1""",
+    "dup_components": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+          FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                FROM toks)
+        ),
+        hs AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM sh),
+        ks AS (SELECT seed, ('0x' || substr(md5(seed::VARCHAR), 1, 15))::BIGINT AS k
+               FROM (SELECT unnest(generate_series(0, 7)) AS seed)),
+        sig AS (
+          SELECT doc_id, seed, MIN(xor(h, k)) AS minhash
+          FROM hs, ks GROUP BY 1, 2),
+        capped AS (
+          SELECT doc_id, seed, minhash FROM (
+            SELECT doc_id, seed, minhash,
+                   COUNT(*) OVER (PARTITION BY seed, minhash) AS bsz
+            FROM sig)
+          WHERE bsz <= 100),
+        pairs AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM capped a JOIN capped b
+            ON a.seed = b.seed AND a.minhash = b.minhash
+           AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(n, m) AS (
+          SELECT a AS n, a AS m FROM edges
+          UNION
+          SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+        )
+        SELECT n AS doc_id, MIN(m)::BIGINT AS component_id
+        FROM reach GROUP BY 1""",
     "ann_ivf_topk": """
         WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0),
         z AS (

@@ -343,3 +343,79 @@ def simhash_near_pairs(
     return cand.select(
         "a", "b", F.bit_count(F.expr("sa ^ sb")).alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """(doc_id, component_id): transitive closure of the near-dup pair
+    graph — component_id = the minimum doc_id reachable from each node.
+    The step a dedup pipeline needs AFTER pair generation: LSH emits
+    pairwise evidence (A~B, B~C) and the keeper decision must treat
+    {A, B, C} as ONE group even though (A, C) never collided.
+
+    Algorithm: min-label propagation. Every node starts labeled with its
+    own id; each round replaces a node's label with the minimum over its
+    neighbors' labels; converged when no label changes. Rounds needed =
+    graph diameter — near-dup graphs are unions of small dense clusters,
+    so a handful of rounds in practice (the iteration cap is a guard, and
+    the loop exits early on convergence; a diameter-10^6 path graph would
+    want the large-star/small-star variant [Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14], which squashes paths
+    in O(log n) rounds at the cost of two joins per round).
+
+    Each round is one shuffle join + one aggregation; ``localCheckpoint``
+    truncates the lineage so the plan does not grow with iterations
+    (mandatory for iterative DataFrame algorithms — round i's plan would
+    otherwise embed rounds 0..i-1).
+
+    Only nodes that appear in ``edges`` are labeled; singletons are their
+    own component by definition and need no rows here.
+    """
+    # materialize the symmetric edge list ONCE: every round joins against
+    # it, and an unmaterialized lineage would re-run the upstream pair
+    # generation (the whole LSH pipeline) once per iteration
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("comp").alias("nb_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nb_comp").alias("min_nb"))
+        )
+        new_labels = (
+            labels.join(
+                neigh.select(F.col("src").alias("doc_id"), "min_nb"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("min_nb", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("comp").alias("component_id"))
