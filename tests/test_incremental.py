@@ -125,10 +125,9 @@ def test_compact_is_o_delta(spark, split_corpus, tmp_path):
     after = {f: os.path.getmtime(os.path.join(seg, f)) for f in os.listdir(seg)}
     assert before == after, "base segment files were rewritten"
     assert m["metrics"]["carried_segments"] == 1
-    assert m["segments"]["term_postings"] == [
-        os.path.abspath(seg),
-        os.path.abspath(os.path.join(merged_dir, "term_postings")),
-    ]
+    # carried base segment: absolute reference in place; the delta
+    # segment lives under the new snapshot and is stored relative
+    assert m["segments"]["term_postings"] == [os.path.abspath(seg), "term_postings"]
     # bytes written ~ delta footprint, strictly below the base's bytes
     base_bytes = base_idx.manifest["metrics"]["bytes_compressed"]
     assert 0 < m["metrics"]["bytes_written_postings"] < base_bytes
@@ -167,10 +166,26 @@ def test_chained_increments_and_full_compact(spark, split_corpus, tmp_path):
     fc_dir = str(tmp_path / "cfc")
     fm = full_compact(load_index(spark, m2_dir), fc_dir)
     assert len(fm["segments"]["term_postings"]) == 1
-    assert fm["segments"]["term_postings"][0] == os.path.abspath(
-        os.path.join(fc_dir, "term_postings")
-    )
+    # self-contained snapshot: RELATIVE segment name (relocatable)
+    assert fm["segments"]["term_postings"][0] == "term_postings"
     for terms in (["w0"], ["w1", "w7"]):
         assert _results(spark, fc_dir, terms) == _results(
             spark, rebuild_dir, terms
         ), terms
+
+
+def test_fresh_index_is_relocatable(spark, split_corpus, tmp_path):
+    """A single-segment snapshot must survive a directory copy: segment
+    names are stored relative and resolve against the manifest's own
+    directory — never against the build-time path."""
+    import shutil
+
+    _, base, _ = split_corpus
+    src = str(tmp_path / "reloc_src")
+    build_index(base, src, n_shards=4)
+    moved = str(tmp_path / "reloc_dst")
+    shutil.copytree(src, moved)
+    shutil.rmtree(src)  # the original is GONE — any stale path would fail
+    idx = load_index(spark, moved)
+    assert all(p.startswith(moved) for p in idx.segment_paths("term_postings"))
+    assert _results(spark, moved, ["w1", "w7"])  # queries run from the copy

@@ -11,13 +11,12 @@ import zlib
 import numpy as np
 import pytest
 
+from tfidf_spark.functions.wav import wav_decode, wav_encode
 from tfidf_spark.functions.png import (
     _MAGIC,
     _chunk,
     png_decode,
     png_encode,
-    wav_decode,
-    wav_encode,
 )
 
 

@@ -112,3 +112,21 @@ def test_range_join_with_equi_keys(spark):
         ).collect()
     }
     assert got == {(1, 9), (2, 9)}  # grp must match too
+
+
+def test_range_join_fractional_coordinates(spark):
+    """Bucketing must be exact for non-integer domains too: the last
+    bucket is ceil(hi/w)-1, not floor((hi-1)/w) (which drops a point at
+    10.4 inside [0, 10.5) at width 5)."""
+    pts = spark.createDataFrame(
+        [(1, 10.4), (2, 10.5), (3, 0.0), (4, -5.01)], "pid long, p double"
+    )
+    ivs = spark.createDataFrame(
+        [(7, 0.0, 10.5), (8, -10.0, -5.0), (9, 10.2, 10.45)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join_buckets(pts, ivs, "p", "lo", "hi", bucket_width=5).collect()
+    }
+    assert got == {(1, 7), (3, 7), (4, 8), (1, 9)}

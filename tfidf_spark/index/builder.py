@@ -314,9 +314,19 @@ def build_index(
             .sortWithinPartitions("tkey", "term", "shard", "doc_id")
             .drop("tkey")
         )
-        sorted_runs.mapInPandas(_encode_sorted_stream, INDEX_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(f"{out_dir}/term_postings")
+        # big Arrow batches ONLY for this stage: posting rows are ~30B,
+        # so 100k rows/batch is a few MB and amortizes the kernel's
+        # per-batch overhead; the session default stays 10k because the
+        # same knob sizes text-carrying UDF batches (session.py)
+        conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev = spark.conf.get(conf_key, "10000")
+        spark.conf.set(conf_key, "100000")
+        try:
+            sorted_runs.mapInPandas(_encode_sorted_stream, INDEX_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(f"{out_dir}/term_postings")
+        finally:
+            spark.conf.set(conf_key, prev)
 
     ckpt.run("encode", _encode)
     tp = spark.read.parquet(f"{out_dir}/term_postings")
@@ -341,6 +351,10 @@ def build_index(
         "format_version": FORMAT_VERSION,
         "n_docs": n_docs,
         "avgdl": avgdl,
+        # true cumulative token count: incremental merges use this for
+        # exact drift accounting (pinned avgdl * n_docs would understate
+        # drift once increments themselves pin avgdl)
+        "dl_sum": float(cs["dl_sum"] or 0.0),
         "n_shards": n_shards,
         "k1": k1,
         "b": b,
@@ -348,10 +362,15 @@ def build_index(
         # Iceberg-manifest pattern: the snapshot LISTS its data segments;
         # incremental merges append a delta segment without rewriting the
         # carried ones (see incremental.compact_index). A fresh build is
-        # a single-segment snapshot.
+        # a single-segment snapshot. Segments under the index root are
+        # stored RELATIVE (resolved against the manifest's directory at
+        # read time) so a copied/moved index stays self-contained;
+        # chained increments reference base segments absolutely and carry
+        # the usual Iceberg caveat: move the bases with the snapshot, or
+        # full_compact into a self-contained one.
         "segments": {
-            "term_postings": [os.path.abspath(f"{out_dir}/term_postings")],
-            "doc_stats": [os.path.abspath(f"{out_dir}/doc_stats")],
+            "term_postings": ["term_postings"],
+            "doc_stats": ["doc_stats"],
         },
         "metrics": {
             "docs_tokenized": n_docs,
@@ -399,7 +418,15 @@ class IndexHandle:
     def segment_paths(self, name: str) -> list[str]:
         segs = self.manifest.get("segments")
         if segs and name in segs:
-            return list(segs[name])
+            # relative entries are the self-contained case (resolved
+            # against THIS manifest's directory, so the index survives a
+            # copy/move); absolute entries are chained-increment
+            # references into a base index (documented caveat in
+            # build_index's manifest comment)
+            return [
+                p if os.path.isabs(p) else os.path.join(self.path, p)
+                for p in segs[name]
+            ]
         # pre-v3 snapshot: single directory under the index root
         return [os.path.join(self.path, name)]
 

@@ -123,7 +123,10 @@ def full_compact(index: IndexHandle, out_dir: str) -> dict:
         .parquet(f"{out_dir}/term_postings")
     )
     kept_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
-    n_docs = spark.read.parquet(f"{out_dir}/doc_stats").count()
+    kept = spark.read.parquet(f"{out_dir}/doc_stats").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    n_docs = int(kept["n"])
 
     tp = spark.read.parquet(f"{out_dir}/term_postings")
     tp.groupBy("term").agg(
@@ -136,10 +139,14 @@ def full_compact(index: IndexHandle, out_dir: str) -> dict:
         {
             "format_version": FORMAT_VERSION,
             "n_docs": n_docs,
+            # deletes change the true token total: recompute so later
+            # increments' drift accounting stays exact
+            "dl_sum": float(kept["dl_sum"] or 0.0),
             "tombstones_compacted": index.n_tombstones,
             "segments": {
-                "term_postings": [os.path.abspath(f"{out_dir}/term_postings")],
-                "doc_stats": [os.path.abspath(f"{out_dir}/doc_stats")],
+                # self-contained snapshot: relative names, relocatable
+                "term_postings": ["term_postings"],
+                "doc_stats": ["doc_stats"],
             },
         }
     )
@@ -227,7 +234,17 @@ def compact_index(
         )
 
     n_docs = index.n_docs + n_new
-    true_avgdl = (index.avgdl * index.n_docs + float(new_dl_sum)) / max(n_docs, 1)
+    # exact cumulative accounting: the base's TRUE dl_sum, not
+    # pinned_avgdl * n_docs — chained increments each pin avgdl, so the
+    # pinned-mean approximation would systematically shrink measured
+    # drift as n_docs grows and the rebuild guard would never fire
+    base_dl_sum = float(
+        index.manifest.get(
+            "dl_sum",
+            index.manifest.get("true_avgdl", index.avgdl) * index.n_docs,
+        )
+    )
+    true_avgdl = (base_dl_sum + float(new_dl_sum)) / max(n_docs, 1)
     drift = abs(true_avgdl - pinned_avgdl) / max(pinned_avgdl, 1e-12)
     if drift > rebuild_threshold and not force:
         raise RuntimeError(
@@ -287,13 +304,17 @@ def compact_index(
             "n_docs": n_docs,
             "avgdl": pinned_avgdl,
             "true_avgdl": true_avgdl,
+            "dl_sum": base_dl_sum + float(new_dl_sum),
             "avgdl_drift": drift,
             "increments": index.manifest.get("increments", 0) + 1,
             "segments": {
+                # the delta segment is relative (lives under this
+                # snapshot); carried base segments stay absolute — the
+                # chained snapshot references its base in place (move
+                # them together, or full_compact to self-contain)
                 "term_postings": base_segs["term_postings"]
-                + [os.path.abspath(f"{out_dir}/term_postings")],
-                "doc_stats": base_segs["doc_stats"]
-                + [os.path.abspath(f"{out_dir}/doc_stats")],
+                + ["term_postings"],
+                "doc_stats": base_segs["doc_stats"] + ["doc_stats"],
             },
             "metrics": {
                 "docs_tokenized": n_new,

@@ -246,6 +246,10 @@ def simhash(postings: DataFrame, bits: int = 60) -> DataFrame:
             # bit matrix via unpackbits on the little-endian byte view:
             # (rows, bits) uint8 where column i == (h >> i) & 1
             byte_view = hs.astype("<u8").view(np.uint8).reshape(-1, 8)
+            # int32 is safe: per-group sums are bounded by the doc's
+            # token count, and a doc's text is ONE Spark string value
+            # (hard 2 GB limit) -> dl < 2^31 always; int32 halves the
+            # kernel's memory traffic vs int64
             cnts32 = cnts.astype(np.int32)
             sims = np.empty(starts.size, dtype=np.int64)
             g = 0  # group cursor
@@ -367,7 +371,14 @@ def connected_components(
     Each round is one shuffle join + one aggregation; ``localCheckpoint``
     truncates the lineage so the plan does not grow with iterations
     (mandatory for iterative DataFrame algorithms — round i's plan would
-    otherwise embed rounds 0..i-1).
+    otherwise embed rounds 0..i-1), and each superseded generation is
+    unpersisted/dereferenced once the next one is materialized so the
+    context cleaner can reclaim its blocks — executor storage stays
+    ~O(2 label tables) instead of growing with round count.
+    Convergence is detected from a flag column computed in the SAME
+    label-update pass (no extra self-join per round), and hitting
+    ``max_iter`` with labels still moving raises rather than silently
+    returning a partial (wrong) clustering.
 
     Only nodes that appear in ``edges`` are labeled; singletons are their
     own component by definition and need no rows here.
@@ -386,6 +397,7 @@ def connected_components(
         .withColumn("comp", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(
@@ -406,16 +418,23 @@ def connected_components(
             .select(
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce("min_nb", "comp")).alias("comp"),
+                (F.coalesce("min_nb", "comp") < F.col("comp")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").limit(1).count()
+        old = labels
+        labels = new_labels.drop("chg")
+        old.unpersist()
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the pair graph has a longer path than expected (raise max_iter, "
+            "or switch to the large-star/small-star O(log n)-round variant "
+            "cited in the docstring); returning partial labels would "
+            "silently split real clusters"
+        )
     return labels.select("doc_id", F.col("comp").alias("component_id"))

@@ -71,7 +71,7 @@ class StdlibCodec(LibraryCodec):
         return png_decode(payload)
 
     def decode_audio(self, payload: bytes) -> np.ndarray:
-        from tfidf_spark.functions.png import wav_decode
+        from tfidf_spark.functions.wav import wav_decode
 
         return wav_decode(payload)
 
@@ -168,7 +168,8 @@ def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
     uncompressed-DIB AVI video (functions/png.py + functions/avi.py
     encoders) — so the decode path downstream exercises genuine codecs."""
     from tfidf_spark.functions.avi import avi_encode
-    from tfidf_spark.functions.png import png_encode, wav_encode
+    from tfidf_spark.functions.png import png_encode
+    from tfidf_spark.functions.wav import wav_encode
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]

@@ -120,10 +120,12 @@ def range_join_buckets(
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / F.lit(w)).cast("long"),
-                # hi is exclusive: a point == hi never matches, so the
-                # bucket containing hi is still needed only when the
-                # interval extends into it
-                F.floor((F.col(hi_col) - F.lit(1)) / F.lit(w)).cast("long"),
+                # last bucket holding any point < hi is ceil(hi/w) - 1:
+                # exact for integer AND fractional coordinates (a
+                # floor((hi-1)/w) form would drop e.g. point 10.4 in
+                # [0, 10.5) at width 5), and never below the lo bucket
+                # for a non-empty interval, so the sequence is ascending
+                (F.ceil(F.col(hi_col) / F.lit(w)) - F.lit(1)).cast("long"),
             )
         ),
     )

@@ -41,11 +41,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # 100k-row Arrow batches: the encode kernel's per-batch overhead
-        # (pandas concat + boundary diff) was measured material at the
-        # 10k default on 28M-row posting streams; posting rows are ~30B
-        # so a batch is still only a few MB
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # 10k-row Arrow batches as the SESSION default: this knob also
+        # governs text-carrying UDFs (tokenize, Huffman), where 100k rows
+        # x ~10KB docs would materialize ~1GB per in-flight batch per
+        # Python worker. The posting-encode stage, whose ~30B rows DO
+        # want big batches (per-batch kernel overhead measured material
+        # at 10k on 28M-row streams), raises it to 100k around its own
+        # job only (index/builder._encode).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         # InferFiltersFromGenerate infers size(term_counts)>0 below the
         # postings explode and DUPLICATES the Arrow tokenize UDF (observed:
