@@ -162,6 +162,51 @@ def extract_features(
     return media.mapInPandas(kernel, "media_id bigint, kind string, feature array<float>")
 
 
+def resize_nearest(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W[, C]) array — pure numpy
+    index arithmetic (pixel-center sampling), deterministic, no
+    interpolation library. The standard pre-embedding normalization step
+    (models want fixed input shapes)."""
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
+def resize_images(
+    media: DataFrame,
+    out_h: int = 16,
+    out_w: int = 16,
+    codec: LibraryCodec | None = None,
+) -> DataFrame:
+    """``(media_id, height, width, pixels array<int>)``: decode each
+    image payload (REAL PNG decode by default) and resize to a fixed
+    shape — the mapInPandas batch form of the brief's "resize" step.
+    Pixels return flattened row-major uint8 values; downstream feature
+    extraction reshapes to (out_h, out_w, C)."""
+    codec = codec or PipelineCodec()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = codec.decode_image(bytes(payload))
+                small = resize_nearest(px, out_h, out_w)
+                out.append(
+                    {
+                        "media_id": mid,
+                        "height": out_h,
+                        "width": out_w,
+                        "pixels": small.astype(np.int64).ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        kernel, "media_id bigint, height int, width int, pixels array<bigint>"
+    )
+
+
 def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table matching MEDIA_SCHEMA. Every modality
     carries a REAL byte stream — PNG images, PCM16 WAV audio, and
