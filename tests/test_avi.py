@@ -83,3 +83,48 @@ def test_e2e_video_features_through_spark(spark):
         for r in again.filter("kind = 'video'").collect()
     }
     assert a == b
+
+
+# ------------------------------------------------------------ properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 6),
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),  # odd widths exercise stride padding
+    fps=st.integers(1, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_avi_roundtrip_property(n, h, w, fps, seed):
+    """Any frame shape / count / rate roundtrips bit-exactly, and the
+    header reports the real geometry."""
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(n)]
+    data = avi_encode(frames, fps=fps)
+    info = avi_info(data)
+    assert (info["n_frames"], info["width"], info["height"]) == (n, w, h)
+    got = avi_sample_frames(data, every_ms=0)
+    assert len(got) == n
+    assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(1, 12),
+    fps=st.integers(1, 30),
+    every_ms=st.integers(1, 3000),
+)
+def test_avi_sampling_selects_every_kth(n, fps, every_ms):
+    """The sampler returns exactly frames 0, k, 2k, ... where
+    k = max(1, round(every_ms / frame_duration_ms))."""
+    frames = _frames(n, h=3, w=3, seed=n)
+    data = avi_encode(frames, fps=fps)
+    got = avi_sample_frames(data, every_ms=every_ms)
+    k = max(1, round(every_ms * 1000 / (1_000_000 // fps)))
+    want_idx = list(range(0, n, k))
+    assert len(got) == len(want_idx)
+    assert all(np.array_equal(frames[i], g) for i, g in zip(want_idx, got))
