@@ -125,9 +125,13 @@ def test_compact_is_o_delta(spark, split_corpus, tmp_path):
     after = {f: os.path.getmtime(os.path.join(seg, f)) for f in os.listdir(seg)}
     assert before == after, "base segment files were rewritten"
     assert m["metrics"]["carried_segments"] == 1
-    # carried base segment: absolute reference in place; the delta
-    # segment lives under the new snapshot and is stored relative
-    assert m["segments"]["term_postings"] == [os.path.abspath(seg), "term_postings"]
+    # every ref is relative to the new snapshot's dir: the carried base
+    # segment via "..", the delta segment inside it — so the chain moves
+    # as a unit (test_chained_snapshots_move_as_a_unit)
+    assert m["segments"]["term_postings"] == [
+        os.path.join("..", "ob", "term_postings"),
+        "term_postings",
+    ]
     # bytes written ~ delta footprint, strictly below the base's bytes
     base_bytes = base_idx.manifest["metrics"]["bytes_compressed"]
     assert 0 < m["metrics"]["bytes_written_postings"] < base_bytes
@@ -172,6 +176,51 @@ def test_chained_increments_and_full_compact(spark, split_corpus, tmp_path):
         assert _results(spark, fc_dir, terms) == _results(
             spark, rebuild_dir, terms
         ), terms
+
+
+def test_chained_snapshots_move_as_a_unit(spark, split_corpus, tmp_path):
+    """A base + two chained increments under one root must survive the
+    whole root being renamed: carried-segment refs are stored relative
+    to each snapshot's own directory, never absolute (VERDICT r3 #7)."""
+    import shutil
+
+    _, base, delta = split_corpus
+    d1 = delta.filter(F.col("doc_id") % 2 == 0)
+    d2 = delta.filter(F.col("doc_id") % 2 != 0)
+
+    root = tmp_path / "chain_root"
+    build_index(base, str(root / "s0"), n_shards=4)
+    compact_index(
+        load_index(spark, str(root / "s0")), d1, str(root / "s1"), force=True
+    )
+    compact_index(
+        load_index(spark, str(root / "s1")), d2, str(root / "s2"), force=True
+    )
+    expected = _results(spark, str(root / "s2"), ["w1", "w7"])
+
+    moved = tmp_path / "chain_moved"
+    shutil.move(str(root), str(moved))  # the original root is GONE
+    idx = load_index(spark, str(moved / "s2"))
+    assert len(idx.segment_paths("term_postings")) == 3
+    assert all(
+        p.startswith(str(moved)) for p in idx.segment_paths("term_postings")
+    )
+    assert _results(spark, str(moved / "s2"), ["w1", "w7"]) == expected
+
+
+def test_relative_base_path_chain(spark, split_corpus, tmp_path, monkeypatch):
+    """Opening the base via a RELATIVE path must still produce a correct
+    chained manifest (ADVICE r3: cwd-relative refs used to be written
+    verbatim and then re-resolved against the new snapshot's dir)."""
+    import os
+
+    _, base, delta = split_corpus
+    root = tmp_path / "relroot"
+    build_index(base, str(root / "b"), n_shards=4)
+    monkeypatch.chdir(tmp_path)
+    rel_idx = load_index(spark, os.path.join("relroot", "b"))
+    compact_index(rel_idx, delta, str(root / "m"), force=True)
+    assert _results(spark, str(root / "m"), ["w1", "w7"])
 
 
 def test_fresh_index_is_relocatable(spark, split_corpus, tmp_path):

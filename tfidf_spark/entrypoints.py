@@ -219,9 +219,20 @@ def q_huffman_transfer(spark, sf_dir):
     from tfidf_spark.functions.transfer import huffman_roundtrip_udf
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    out = docs.select(
         "doc_id", huffman_roundtrip_udf()("text").alias("h")
-    ).select("doc_id", "h.orig_bytes", "h.roundtrip_sha256")
+    )
+    # `compresses` keeps the gate sensitive to a no-op identity codec:
+    # Huffman optimality beats the fixed 7-bit prefix code on pure-ASCII
+    # input, so every doc of >= 8 bytes MUST strictly compress
+    # (bits <= 7n  =>  ceil(bits/8) < n for n > 7); the oracle asserts
+    # the disjunction is always TRUE, which an identity codec
+    # (encoded_bytes == orig_bytes) fails on any doc >= 8 bytes.
+    return out.select(
+        "doc_id", "h.orig_bytes", "h.roundtrip_sha256",
+        ((F.col("h.orig_bytes") < 8)
+         | (F.col("h.encoded_bytes") < F.col("h.orig_bytes"))).alias("compresses"),
+    )
 
 
 def q_chargram_fingerprint(spark, sf_dir):
@@ -665,7 +676,11 @@ def q_rls_scoped_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     grants = (
         docs.select("source").distinct()
-        .filter(F.substring("source", 4, 10).cast("int") % 3 == 0)
+        # Uncapped substring: a length-capped substring(source,4,10) would
+        # silently diverge from the oracle's substr(source,4) on suffixes
+        # longer than 10 digits. cast("int") -> NULL on non-numeric, which
+        # the oracle mirrors with TRY_CAST.
+        .filter(F.expr("substring(source, 4)").cast("int") % 3 == 0)
         .select(F.lit("alice").alias("principal"), F.col("source").alias("scope"))
     )
     secured = security.apply_row_policy(docs, grants, "alice", "source")
@@ -926,7 +941,8 @@ ORACLES = {
     # identical byte length and sha256. strlen() is DuckDB's BYTE length.
     "huffman_transfer": """
         SELECT doc_id, strlen(text)::BIGINT AS orig_bytes,
-               sha256(text) AS roundtrip_sha256
+               sha256(text) AS roundtrip_sha256,
+               TRUE AS compresses
         FROM documents""",
     "chargram_fingerprint": """
         SELECT doc_id,
@@ -1193,7 +1209,7 @@ ORACLES = {
         SELECT lang, COUNT(*)::BIGINT AS n_docs,
                SUM(n_chars)::BIGINT AS sum_chars
         FROM documents
-        WHERE CAST(substr(source, 4) AS INT) % 3 = 0
+        WHERE TRY_CAST(substr(source, 4) AS INT) % 3 = 0
         GROUP BY 1""",
     "events_hypertable_daily": """
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

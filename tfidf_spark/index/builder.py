@@ -399,7 +399,11 @@ class IndexHandle:
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
-        self.path = path
+        # abspath: Spark resolves relative paths against the JVM's cwd
+        # (not Python's), and chained manifests written from a handle
+        # opened via a relative path would record refs that re-resolve
+        # against the wrong directory (ADVICE r3).
+        self.path = os.path.abspath(path)
         with open(os.path.join(path, "manifest.json")) as f:
             self.manifest = json.load(f)
         version = self.manifest.get("format_version", 2)
@@ -418,13 +422,13 @@ class IndexHandle:
     def segment_paths(self, name: str) -> list[str]:
         segs = self.manifest.get("segments")
         if segs and name in segs:
-            # relative entries are the self-contained case (resolved
-            # against THIS manifest's directory, so the index survives a
-            # copy/move); absolute entries are chained-increment
-            # references into a base index (documented caveat in
-            # build_index's manifest comment)
+            # all current manifests store segment refs relative to THIS
+            # manifest's directory ("term_postings" for its own segment,
+            # "../base/term_postings" for chained bases) so a snapshot
+            # chain under a common root moves as a unit; absolute entries
+            # are accepted for pre-r4 chained manifests.
             return [
-                p if os.path.isabs(p) else os.path.join(self.path, p)
+                p if os.path.isabs(p) else os.path.normpath(os.path.join(self.path, p))
                 for p in segs[name]
             ]
         # pre-v3 snapshot: single directory under the index root

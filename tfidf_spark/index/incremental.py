@@ -134,19 +134,40 @@ def full_compact(index: IndexHandle, out_dir: str) -> dict:
         F.sum("n_bytes").alias("bytes"),
     ).write.mode("overwrite").parquet(f"{out_dir}/term_stats")
 
+    dl_sum = float(kept["dl_sum"] or 0.0)
+    snap_stats = tp.agg(
+        F.sum("n_bytes").alias("b"), F.sum("df_shard").alias("p")
+    ).collect()[0]
     manifest = dict(index.manifest)
+    # The output is a fresh single-segment snapshot: counters that
+    # describe the INCREMENT CHAIN must reset or the signals they feed
+    # (increment-count compaction scheduling, avgdl-drift rebuild guard)
+    # stay inflated after the compaction that was supposed to clear them.
+    manifest.pop("avgdl_drift", None)
+    manifest.pop("true_avgdl", None)
     manifest.update(
         {
             "format_version": FORMAT_VERSION,
             "n_docs": n_docs,
             # deletes change the true token total: recompute so later
             # increments' drift accounting stays exact
-            "dl_sum": float(kept["dl_sum"] or 0.0),
+            "dl_sum": dl_sum,
+            "increments": 0,
+            "true_avgdl": dl_sum / max(n_docs, 1),
+            "avgdl_drift": abs(dl_sum / max(n_docs, 1) - index.avgdl)
+            / max(index.avgdl, 1e-12),
             "tombstones_compacted": index.n_tombstones,
             "segments": {
                 # self-contained snapshot: relative names, relocatable
                 "term_postings": ["term_postings"],
                 "doc_stats": ["doc_stats"],
+            },
+            # metrics describe THIS snapshot, not the pre-compaction chain
+            "metrics": {
+                "docs_tokenized": 0,
+                "postings_emitted": int(snap_stats["p"] or 0),
+                "bytes_written_postings": int(snap_stats["b"] or 0),
+                "carried_segments": 0,
             },
         }
     )
@@ -293,9 +314,20 @@ def compact_index(
             F.sum("n_bytes").alias("b"), F.sum("df_shard").alias("p")
         ).collect()[0]
     )
+    # Carried base segments are stored RELATIVE TO THIS SNAPSHOT's
+    # directory (e.g. "../base/term_postings"): a chain of snapshots under
+    # a common root can then be moved/renamed as a unit and every link
+    # keeps resolving. abspath first, because segment_paths() output is
+    # cwd-relative when the base index was opened via a relative path —
+    # writing that verbatim would re-resolve against the NEW snapshot's
+    # directory and break (ADVICE r3).
+    out_abs = os.path.abspath(out_dir)
     base_segs = {
-        "term_postings": index.segment_paths("term_postings"),
-        "doc_stats": index.segment_paths("doc_stats"),
+        name: [
+            os.path.relpath(os.path.abspath(p), out_abs)
+            for p in index.segment_paths(name)
+        ]
+        for name in ("term_postings", "doc_stats")
     }
     manifest = dict(index.manifest)
     manifest.update(
@@ -308,10 +340,12 @@ def compact_index(
             "avgdl_drift": drift,
             "increments": index.manifest.get("increments", 0) + 1,
             "segments": {
-                # the delta segment is relative (lives under this
-                # snapshot); carried base segments stay absolute — the
-                # chained snapshot references its base in place (move
-                # them together, or full_compact to self-contain)
+                # every entry is relative to this snapshot's directory:
+                # "term_postings" is the delta segment inside it, the
+                # "../..."-style entries are the carried base segments.
+                # Move the common root as a unit and the chain survives;
+                # full_compact still self-contains when you want a
+                # snapshot with no external references at all.
                 "term_postings": base_segs["term_postings"]
                 + ["term_postings"],
                 "doc_stats": base_segs["doc_stats"] + ["doc_stats"],

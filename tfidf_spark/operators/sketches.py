@@ -40,12 +40,19 @@ from pyspark.sql import functions as F
 _TWO_60 = float(1 << 60)
 
 
-def hash_fraction(col: str) -> F.Column:
+def hash_fraction(col) -> F.Column:
     """Uniform [0,1) fraction from md5 of the (string) column — the same
     expression DuckDB evaluates as
-    ``('0x' || substr(md5(x),1,15))::BIGINT / 2^60``."""
+    ``('0x' || substr(md5(x),1,15))::BIGINT / 2^60``.
+
+    Built with Column functions (not f-string SQL) so arbitrary column
+    names — including ones containing backticks/dots — cannot inject
+    into the expression.
+    """
+    c = F.col(col) if isinstance(col, str) else col
     return (
-        F.expr(f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)")
+        F.conv(F.substring(F.md5(c), 1, 15), 16, 10)
+        .cast("bigint")
         .cast("double")
         / F.lit(_TWO_60)
     )
@@ -60,7 +67,11 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     6/2 decimals for engine-portable hashing.
     """
     kept = (
-        df.select(hash_fraction(col).alias("hf"))
+        # NULLs must not enter the sketch: NULL md5 -> NULL fraction,
+        # which Spark's ascending orderBy sorts FIRST (consuming top-k
+        # slots) while DuckDB sorts it LAST — engines would diverge.
+        df.where(F.col(col).isNotNull() if isinstance(col, str) else col.isNotNull())
+        .select(hash_fraction(col).alias("hf"))
         .distinct()
         .orderBy("hf")  # TakeOrderedAndProject: per-partition k-minima, merged
         .limit(k)
