@@ -434,12 +434,50 @@ class IndexHandle:
         # pre-v3 snapshot: single directory under the index root
         return [os.path.join(self.path, name)]
 
+    def _read_term_postings(self) -> DataFrame:
+        """Union of posting segments; on a patched snapshot
+        (incremental.patch_deletes) the carried segments' superseded runs
+        are anti-joined out against the broadcast shadow list keyed by
+        (segment ref, term, shard)."""
+        refs = self.manifest.get("segments", {}).get(
+            "term_postings", ["term_postings"]
+        )
+        paths = self.segment_paths("term_postings")
+        if not self.manifest.get("shadowed_runs"):
+            return self.spark.read.parquet(*paths)
+        parts = [
+            self.spark.read.parquet(p).withColumn("_seg", F.lit(ref))
+            for ref, p in zip(refs, paths)
+        ]
+        df = parts[0]
+        for part in parts[1:]:
+            df = df.unionByName(part)
+        shadow = self.shadowed_runs.select(
+            F.col("seg").alias("_seg"), "term", "shard"
+        )
+        return df.join(
+            F.broadcast(shadow), ["_seg", "term", "shard"], "left_anti"
+        ).drop("_seg")
+
+    @property
+    def shadowed_runs(self) -> DataFrame | None:
+        """(seg, term, shard) runs superseded by a patch segment, or None."""
+        if not self.manifest.get("shadowed_runs"):
+            return None
+        df = self._dfs.get("shadowed_runs")
+        if df is None:
+            df = self.spark.read.parquet(f"{self.path}/shadowed_runs")
+            self._dfs["shadowed_runs"] = df
+        return df
+
     def _cached(self, name: str) -> DataFrame:
         # one read per table per handle: repeated spark.read calls re-list
         # files and re-read footers on every query
         df = self._dfs.get(name)
         if df is None:
-            if name in ("term_postings", "doc_stats"):
+            if name == "term_postings":
+                df = self._read_term_postings()
+            elif name == "doc_stats":
                 df = self.spark.read.parquet(*self.segment_paths(name))
             else:
                 df = self.spark.read.parquet(f"{self.path}/{name}")
@@ -477,6 +515,18 @@ class IndexHandle:
             ts = self.tombstones
             self._n_tombstones = 0 if ts is None else ts.count()
         return self._n_tombstones
+
+    @property
+    def n_unapplied_tombstones(self) -> int:
+        """Tombstones not yet physically applied to the postings —
+        the count the query path must over-fetch by. patch_deletes
+        records how many it applied; deletes issued after the patch are
+        the difference."""
+        return max(
+            0,
+            self.n_tombstones
+            - int(self.manifest.get("postings_tombstones_applied", 0)),
+        )
 
     def invalidate_tombstones(self) -> None:
         self._dfs.pop("tombstones", None)

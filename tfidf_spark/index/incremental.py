@@ -145,6 +145,10 @@ def full_compact(index: IndexHandle, out_dir: str) -> dict:
     # stay inflated after the compaction that was supposed to clear them.
     manifest.pop("avgdl_drift", None)
     manifest.pop("true_avgdl", None)
+    # self-contained output: no carried segments, so no shadow list and
+    # no patch bookkeeping survive a major compaction
+    manifest.pop("shadowed_runs", None)
+    manifest.pop("postings_tombstones_applied", None)
     manifest.update(
         {
             "format_version": FORMAT_VERSION,
@@ -179,10 +183,284 @@ def full_compact(index: IndexHandle, out_dir: str) -> dict:
 def compact_deletes(index: IndexHandle, out_dir: str) -> dict:
     """Physically rewrite the index without tombstoned docs — a
     ``full_compact`` that requires tombstones to exist (guarding against
-    accidentally paying O(index) for a no-op)."""
+    accidentally paying O(index) for a no-op). For delete batches that
+    touch a small fraction of runs, ``patch_deletes`` does the same
+    visible-result transformation at O(affected runs) write cost."""
     if index.tombstones is None:
         raise ValueError("no tombstones to compact")
     return full_compact(index, out_dir)
+
+
+# patch_deletes collects the tombstone list to the driver (it is shipped
+# into the patch kernel as a sorted numpy array); past this size the
+# broadcast is no longer "metadata-sized" and full_compact is the right
+# tool anyway (a delete batch this large touches most runs).
+_PATCH_MAX_TOMBSTONES = 2_000_000
+
+
+def patch_deletes(index: IndexHandle, out_dir: str) -> dict:
+    """TARGETED tombstone compaction: rewrite ONLY the (term, shard) runs
+    that actually contain tombstoned docs; every other run is carried by
+    reference (VERDICT r3 #4).
+
+    Mechanics (Lucene-style patch segment + shadow list):
+      1. tombstoned doc_ids can only live in runs of their own shard
+         (shard = pmod(xxhash64(doc_id), n_shards)), so only those
+         shards' runs are even scanned;
+      2. per candidate run, the block-max skip index localizes each
+         deleted id to ONE block (searchsorted over block_last) — a run
+         is rejected after decoding just the candidate blocks, so decode
+         cost is O(runs_in_affected_shards * blocks_probed), not
+         O(postings);
+      3. runs with a hit are fully decoded, filtered, re-encoded into
+         THIS snapshot's own ``term_postings`` (the patch segment); their
+         (segment, term, shard) keys go into ``shadowed_runs`` and the
+         reader anti-joins them out of the carried base segments;
+      4. term_stats df/bytes are corrected from the kernel's exact
+         per-run drop counts, and n_docs/dl_sum from doc_stats — so
+         query results are rank-identical to a ``full_compact`` of the
+         same snapshot (test_deletes.py proves it).
+
+    Bytes WRITTEN are the patch segment alone — proportional to affected
+    runs, recorded in manifest metrics. doc_stats segments are carried by
+    reference with the tombstone file retained, so stats consumers keep
+    filtering; ``postings_tombstones_applied`` tells the query path its
+    top-k over-fetch no longer needs to cover the applied deletes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from tfidf_spark.index.codec import (
+        decode_block,
+        decode_postings,
+        encode_postings,
+        to_unsigned,
+    )
+
+    spark = index.spark
+    ts = index.tombstones
+    if ts is None:
+        raise ValueError("no tombstones to patch")
+    if index.n_tombstones > _PATCH_MAX_TOMBSTONES:
+        raise ValueError(
+            f"{index.n_tombstones} tombstones exceed the patch limit "
+            f"({_PATCH_MAX_TOMBSTONES}); use full_compact/compact_deletes"
+        )
+    n_shards = index.manifest["n_shards"]
+    out_abs = os.path.abspath(out_dir)
+    os.makedirs(out_abs, exist_ok=True)
+
+    del_ids = np.array(
+        sorted(r["doc_id"] for r in ts.collect()), dtype=np.int64
+    )
+    del_u = np.sort(to_unsigned(del_ids))
+    affected_shards = [
+        r["shard"]
+        for r in ts.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int").alias("shard")
+        )
+        .distinct()
+        .collect()
+    ]
+
+    # docs actually present (a tombstone for an unknown id deletes nothing)
+    present = index.doc_stats.join(ts, "doc_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
+    ).collect()[0]
+    n_deleted = int(present["n"])
+
+    # carried segment refs, relative to the new snapshot (same scheme as
+    # compact_index); the reader keys shadow rows by these ref strings
+    seg_abs = [os.path.abspath(p) for p in index.segment_paths("term_postings")]
+    seg_refs = [os.path.relpath(p, out_abs) for p in seg_abs]
+
+    def _patch(batches):
+        for pdf in batches:
+            rows = {
+                "term": [], "shard": [], "df_shard": [], "postings": [],
+                "weights": [], "block_last": [], "block_max": [],
+                "block_off": [], "n_bytes": [], "_seg": [], "dropped": [],
+                "old_bytes": [],
+            }
+            for term, shard, pb0, wb0, r_bl, r_bo, r_nb, seg in zip(
+                pdf["term"], pdf["shard"], pdf["postings"], pdf["weights"],
+                pdf["block_last"], pdf["block_off"], pdf["n_bytes"],
+                pdf["_seg"],
+            ):
+                bl = np.asarray(r_bl, dtype=np.int64)
+                bl_u = to_unsigned(bl)
+                # each deleted id maps to exactly one candidate block
+                pos = np.searchsorted(bl_u, del_u, side="left")
+                cand = np.unique(pos[pos < bl_u.size])
+                if not cand.size:
+                    continue
+                pb, wb = bytes(pb0), bytes(wb0)
+                boff = np.asarray(r_bo, dtype=np.int64)
+                hit = False
+                for bi in cand:
+                    bids, _ = decode_block(pb, wb, bl, boff, int(bi))
+                    if np.isin(bids, del_ids, assume_unique=True).any():
+                        hit = True
+                        break
+                if not hit:
+                    continue
+                ids, ws = decode_postings(pb, wb)
+                keep = ~np.isin(ids, del_ids, assume_unique=True)
+                n_drop = int(ids.size - keep.sum())
+                npb, nwb, nbl, nbm, nbo, n = encode_postings(
+                    ids[keep], ws[keep], presorted=True
+                )
+                rows["term"].append(term)
+                rows["shard"].append(int(shard))
+                rows["df_shard"].append(n)
+                rows["postings"].append(npb)
+                rows["weights"].append(nwb)
+                rows["block_last"].append(nbl)
+                rows["block_max"].append(nbm)
+                rows["block_off"].append(nbo)
+                rows["n_bytes"].append(len(npb) + len(nwb))
+                rows["_seg"].append(seg)
+                rows["dropped"].append(n_drop)
+                rows["old_bytes"].append(int(r_nb))
+            if rows["term"]:
+                yield pd.DataFrame(rows)
+
+    # read carried segments ref-tagged, with the base's OWN shadow list
+    # (if it is already a patched snapshot) applied so dead runs are
+    # neither re-patched nor resurrected
+    parts = []
+    for ref, p in zip(seg_refs, seg_abs):
+        parts.append(spark.read.parquet(p).withColumn("_seg", F.lit(ref)))
+    tagged = parts[0]
+    for df in parts[1:]:
+        tagged = tagged.unionByName(df)
+    base_shadow = index.shadowed_runs
+    if base_shadow is not None:
+        # base shadow seg refs are relative to the BASE snapshot: remap to
+        # this snapshot's ref strings via the tiny (old_ref -> new_ref) map
+        remap = spark.createDataFrame(
+            [
+                (os.path.relpath(a, os.path.abspath(index.path)), ref)
+                for a, ref in zip(seg_abs, seg_refs)
+            ],
+            "old_ref string, _seg string",
+        )
+        shadow_remapped = (
+            base_shadow.withColumnRenamed("seg", "old_ref")
+            .join(F.broadcast(remap), "old_ref")
+            .select(F.col("_seg").alias("seg"), "term", "shard")
+        )
+        tagged = tagged.join(
+            F.broadcast(
+                shadow_remapped.select(
+                    F.col("seg").alias("_seg"), "term", "shard"
+                )
+            ),
+            ["_seg", "term", "shard"],
+            "left_anti",
+        )
+    else:
+        shadow_remapped = None
+
+    schema = (
+        "term string, shard int, df_shard long, postings binary, "
+        "weights binary, block_last array<long>, block_max array<double>, "
+        "block_off array<long>, n_bytes long, _seg string, dropped long, "
+        "old_bytes long"
+    )
+    patched = (
+        tagged.filter(F.col("shard").isin(affected_shards))
+        .mapInPandas(_patch, schema)
+        .cache()
+    )
+    stats = patched.agg(
+        F.count(F.lit(1)).alias("runs"),
+        F.sum(F.when(F.col("df_shard") == 0, 1).otherwise(0)).alias("emptied"),
+        F.sum(F.when(F.col("df_shard") > 0, F.col("n_bytes")).otherwise(0)).alias("b"),
+        F.sum("dropped").alias("drops"),
+    ).collect()[0]
+    n_runs = int(stats["runs"] or 0)
+
+    # a delete batch of zero-token docs patches no run at all: then the
+    # snapshot has no patch segment (parquet can't round-trip an empty
+    # directory) and, absent inherited shadows, no shadow list either
+    own_ref = ["term_postings"] if n_runs else []
+    if n_runs:
+        patch_cols = [f.name for f in INDEX_SCHEMA.fields]
+        patched.filter(F.col("df_shard") > 0).select(*patch_cols).write.mode(
+            "overwrite"
+        ).parquet(f"{out_abs}/term_postings")
+
+    has_shadow = bool(n_runs) or shadow_remapped is not None
+    if has_shadow:
+        new_shadow = patched.select(F.col("_seg").alias("seg"), "term", "shard")
+        all_shadow = (
+            new_shadow.unionByName(shadow_remapped)
+            if shadow_remapped is not None
+            else new_shadow
+        )
+        all_shadow.write.mode("overwrite").parquet(f"{out_abs}/shadowed_runs")
+
+    # exact df/bytes correction per term — O(affected runs) rows
+    deltas = patched.groupBy("term").agg(
+        F.sum("dropped").alias("ddf"),
+        F.sum("old_bytes").alias("ob"),
+        F.sum(F.when(F.col("df_shard") > 0, F.col("n_bytes")).otherwise(0)).alias("nb"),
+    )
+    (
+        index.term_stats.join(F.broadcast(deltas), "term", "left")
+        .select(
+            "term",
+            (F.col("df") - F.coalesce("ddf", F.lit(0))).alias("df"),
+            (
+                F.col("bytes")
+                - F.coalesce("ob", F.lit(0))
+                + F.coalesce("nb", F.lit(0))
+            ).alias("bytes"),
+        )
+        .filter(F.col("df") > 0)
+        .write.mode("overwrite")
+        .parquet(f"{out_abs}/term_stats")
+    )
+
+    ts.write.mode("overwrite").parquet(f"{out_abs}/tombstones")
+    patched.unpersist()
+
+    doc_refs = [
+        os.path.relpath(os.path.abspath(p), out_abs)
+        for p in index.segment_paths("doc_stats")
+    ]
+    manifest = dict(index.manifest)
+    manifest.update(
+        {
+            "format_version": FORMAT_VERSION,
+            "n_docs": index.n_docs - n_deleted,
+            "dl_sum": float(
+                index.manifest.get("dl_sum", index.avgdl * index.n_docs)
+            )
+            - float(present["dl"] or 0.0),
+            "segments": {
+                "term_postings": seg_refs + own_ref,
+                "doc_stats": doc_refs,
+            },
+            "shadowed_runs": has_shadow,
+            # the query path's top-k over-fetch only needs to cover
+            # tombstones NOT yet physically applied to the postings
+            "postings_tombstones_applied": index.n_tombstones,
+            "metrics": {
+                "docs_tokenized": 0,
+                "postings_dropped": int(stats["drops"] or 0),
+                "runs_patched": int(stats["runs"] or 0),
+                "runs_emptied": int(stats["emptied"] or 0),
+                # O(affected runs) evidence: bytes written this compaction
+                "bytes_written_postings": int(stats["b"] or 0),
+                "carried_segments": len(seg_refs),
+            },
+        }
+    )
+    with open(os.path.join(out_abs, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
 
 
 def compact_index(
@@ -308,6 +586,33 @@ def compact_index(
     n_carried = index.n_tombstones
     if n_carried:
         index.tombstones.write.mode("overwrite").parquet(f"{out_dir}/tombstones")
+
+    # a patched base's shadow list must travel with its carried segments,
+    # or the runs a patch superseded would resurrect in the merged view;
+    # seg refs are remapped from base-relative to this snapshot's refs.
+    base_shadow = index.shadowed_runs
+    if base_shadow is not None:
+        base_abs = os.path.abspath(index.path)
+        remap = spark.createDataFrame(
+            [
+                (
+                    os.path.relpath(os.path.abspath(p), base_abs),
+                    new_ref,
+                )
+                for p, new_ref in zip(
+                    index.segment_paths("term_postings"),
+                    base_segs["term_postings"],
+                )
+            ],
+            "old_ref string, new_ref string",
+        )
+        (
+            base_shadow.withColumnRenamed("seg", "old_ref")
+            .join(F.broadcast(remap), "old_ref")
+            .select(F.col("new_ref").alias("seg"), "term", "shard")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/shadowed_runs")
+        )
 
     delta_bytes = (
         seg.agg(

@@ -262,11 +262,15 @@ def bm25_query_index(
         .agg(F.count(F.lit(1)).alias("q_cnt"))
     )
     # Tombstoned docs are filtered AFTER the kernel; each per-shard top-k
-    # over-fetches by the tombstone count so the final top-k never
-    # under-fills (at most n_tombstones removable entries per shard).
+    # over-fetches by the UNAPPLIED tombstone count so the final top-k
+    # never under-fills (tombstones already physically applied by
+    # patch_deletes cannot surface, so they need no headroom).
     n_ts = index.n_tombstones
-    if n_ts:
-        qterms = qterms.withColumn("k", (F.col("k") + F.lit(n_ts)).cast("int"))
+    n_unapplied = index.n_unapplied_tombstones
+    if n_unapplied:
+        qterms = qterms.withColumn(
+            "k", (F.col("k") + F.lit(n_unapplied)).cast("int")
+        )
 
     tp = index.term_postings
     ts = index.term_stats
