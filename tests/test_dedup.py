@@ -149,3 +149,72 @@ def test_connected_components_on_lsh_pairs(docs):
     got = {r["doc_id"]: r["component_id"]
            for r in connected_components(pairs.select("a", "b")).collect()}
     assert got[1] == got[2] == got[3] == 1
+
+
+def test_star_equals_label_on_small_graphs(spark):
+    """large-star/small-star must produce byte-identical labels to
+    min-label propagation on assorted graphs (seeded random + the
+    transitive fixture)."""
+    import random
+
+    from tfidf_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    cases = [[(2, 1), (2, 3), (40, 50)]]
+    for n, m in ((30, 25), (60, 80), (100, 60)):
+        cases.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        )
+    for edges_py in cases:
+        edges_py = [(a, b) for a, b in edges_py if a != b]
+        edges = spark.createDataFrame(edges_py, "a long, b long")
+        label = {r["doc_id"]: r["component_id"]
+                 for r in connected_components(edges, max_iter=120).collect()}
+        star = {r["doc_id"]: r["component_id"]
+                for r in connected_components_star(edges).collect()}
+        assert star == label
+
+
+def test_star_converges_in_log_rounds_where_label_prop_cannot(spark):
+    """The escalation property the docstring promises (Kiveris et al.
+    SoCC'14): on a 2048-node path graph, min-label propagation needs
+    diameter (2047) rounds — it must RAISE at a 12-round cap — while the
+    star variant converges in O(log n) rounds with correct labels."""
+    import math
+
+    import pytest as _pytest
+
+    from tfidf_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 2048
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    with _pytest.raises(RuntimeError, match="algorithm='star'"):
+        connected_components(edges, max_iter=12)
+
+    stats = {}
+    labels = connected_components_star(edges, stats=stats)
+    assert stats["rounds"] <= 2 * int(math.log2(n)) + 4  # O(log n), not O(n)
+    assert labels.filter("component_id != 0").count() == 0
+    assert labels.count() == n
+
+
+def test_auto_escalates_to_star(spark):
+    """algorithm='auto' falls back to the star variant when label
+    propagation hits its round cap, instead of raising."""
+    from tfidf_spark.operators.dedup import connected_components
+
+    n = 256
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long"
+    )
+    got = connected_components(edges, max_iter=8, algorithm="auto")
+    assert got.filter("component_id != 0").count() == 0
+    assert got.count() == n

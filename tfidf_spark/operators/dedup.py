@@ -349,8 +349,129 @@ def simhash_near_pairs(
     ).filter(F.col("hamming") <= max_hamming)
 
 
+def connected_components_star(
+    edges: DataFrame,
+    max_iter: int = 64,
+    a_col: str = "a",
+    b_col: str = "b",
+    stats: dict | None = None,
+) -> DataFrame:
+    """(doc_id, component_id) via alternating LARGE-STAR / SMALL-STAR
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round escalation of
+    ``connected_components`` for graphs whose DIAMETER breaks min-label
+    propagation (crawl-duplicate ladders: a chain of near-identical pages
+    where each LSH pair links only neighbors, diameter ~ corpus run
+    length).
+
+    One round is two edge rewrites, each a groupBy + join on the edge
+    list:
+
+    - large-star: per node u, every LARGER neighbor is re-pointed at
+      m = min(N(u) ∪ {u}) — long tails collapse onto small labels;
+    - small-star: orient edges larger→smaller, per node u re-point the
+      smaller neighbors (and u) at the minimum neighbor — stars flatten.
+
+    Both preserve connectivity exactly (each rewritten edge stays inside
+    u's component, and every node keeps at least one edge toward a
+    smaller component member until it points at the minimum), so the
+    fixed point is a union of stars centered at each component's minimum
+    id — the same labels min-label propagation produces, in
+    O(log n) rounds instead of O(diameter).
+
+    Convergence = the oriented edge set reaches a fixed point, checked
+    EXACTLY with exceptAll on the checkpointed generations (cheap next to
+    the two joins; no probabilistic hash-compare that could declare a
+    wrong fixed point). ``stats["rounds"]`` reports the round count when
+    a dict is passed (the O(log n) property test pins it). Like the
+    label-propagation form, per-round localCheckpoint truncates lineage
+    and superseded generations are unpersisted.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every node that appears in the input keeps a label row even if the
+    # star contraction makes it a center with no outgoing edge
+    nodes = sym.select(F.col("u").alias("doc_id")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    # canonical orientation larger -> smaller; the fixed point is checked
+    # on this form
+    cur = (
+        sym.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -- large-star: group the SYMMETRIC view by u, re-point larger
+        # neighbors at min(N(u) ∪ {u})
+        s = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = s.groupBy("u").agg(F.min("v").alias("mn"))
+        m = m.select("u", F.least("u", "mn").alias("m"))
+        ls = (
+            s.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: orient larger -> smaller, re-point smaller
+        # neighbors and u itself at the minimum neighbor
+        o = ls  # large-star output is already (larger, smaller)
+        mn = o.groupBy("u").agg(F.min("v").alias("mn"))
+        ss = (
+            o.join(mn, "u")
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .union(mn.select("u", F.col("mn").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            ss.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(ss).limit(1).count()
+        )
+        old = cur
+        cur = ss
+        old.unpersist()
+        if changed == 0:
+            converged = True
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; returning partial labels would silently split real "
+            "clusters"
+        )
+    labels = nodes.join(
+        cur.select(F.col("u").alias("doc_id"), F.col("v").alias("comp")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("component_id")
+    )
+    sym.unpersist()
+    return labels
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 30, a_col: str = "a", b_col: str = "b"
+    edges: DataFrame,
+    max_iter: int = 30,
+    a_col: str = "a",
+    b_col: str = "b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """(doc_id, component_id): transitive closure of the near-dup pair
     graph — component_id = the minimum doc_id reachable from each node.
@@ -382,7 +503,30 @@ def connected_components(
 
     Only nodes that appear in ``edges`` are labeled; singletons are their
     own component by definition and need no rows here.
+
+    ``algorithm``: ``"label"`` (min-label propagation, O(diameter)
+    rounds, one join per round — right for near-dup graphs of small
+    dense clusters), ``"star"`` (delegate to
+    ``connected_components_star``, O(log n) rounds, two joins per round —
+    right for long-path graphs), or ``"auto"`` (label propagation first,
+    escalating to star if the round cap is hit with labels still
+    moving).
     """
+    if algorithm not in ("label", "star", "auto"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "star":
+        return connected_components_star(
+            edges, a_col=a_col, b_col=b_col
+        )
+    if algorithm == "auto":
+        try:
+            return connected_components(
+                edges, max_iter=max_iter, a_col=a_col, b_col=b_col
+            )
+        except RuntimeError:
+            return connected_components_star(
+                edges, a_col=a_col, b_col=b_col
+            )
     # materialize the symmetric edge list ONCE: every round joins against
     # it, and an unmaterialized lineage would re-run the upstream pair
     # generation (the whole LSH pipeline) once per iteration
@@ -432,9 +576,9 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds — "
-            "the pair graph has a longer path than expected (raise max_iter, "
-            "or switch to the large-star/small-star O(log n)-round variant "
-            "cited in the docstring); returning partial labels would "
+            "the pair graph has a longer path than expected: use "
+            "algorithm='star' (or 'auto') for the large-star/small-star "
+            "O(log n)-round variant; returning partial labels would "
             "silently split real clusters"
         )
     return labels.select("doc_id", F.col("comp").alias("component_id"))
