@@ -136,3 +136,78 @@ def test_ivf_small_nprobe_recall(emb, qvec):
     # and every returned id must be a genuinely scored candidate
     assert len(approx & exact) >= 3
     assert approx <= {r["vec_id"] for r in assigned.collect()}
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """Mixture of 10 well-separated gaussians — the regime where Lloyd
+    refinement genuinely beats a uniform centroid sample."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((10, DIM)) * 4.0
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        rows.append((i, (c + rng.standard_normal(DIM) * 0.4).astype(np.float32).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_ivf_refine_improves_recall_at_fixed_nprobe(clustered_emb):
+    """Fixed-iteration spherical Lloyd on the seeded sample must raise
+    mean recall@10 at nprobe=2 on clustered data, while nprobe=all stays
+    exactly brute force (the oracle anchor)."""
+    from tfidf_spark.operators.similarity import (
+        ann_topk_ivf,
+        ivf_assign,
+        ivf_centroids,
+        ivf_refine_centroids,
+    )
+
+    data = clustered_emb
+    sampled = ivf_centroids(data, n_centroids=10, seed=13)
+    refined = ivf_refine_centroids(data, sampled, n_iter=3)
+    assert [c for c, _ in refined] == [c for c, _ in sampled]
+
+    queries = [r["embedding"] for r in data.filter(F.col("vec_id") < 15).collect()]
+
+    def mean_recall(cents):
+        assigned = ivf_assign(data, cents).cache()
+        total = 0.0
+        for qv in queries:
+            qv = [float(x) for x in qv]
+            exact = {r["vec_id"] for r in cosine_topk(data, qv, k=10).collect()}
+            approx = {
+                r["vec_id"]
+                for r in ann_topk_ivf(assigned, cents, qv, k=10, nprobe=2).collect()
+            }
+            total += len(approx & exact) / 10.0
+        assigned.unpersist()
+        return total / len(queries)
+
+    r_sampled = mean_recall(sampled)
+    r_refined = mean_recall(refined)
+    assert r_refined > r_sampled, (r_sampled, r_refined)
+    assert r_refined >= 0.8
+
+    # probe-all is still exactly brute force with refined centroids
+    qv = [float(x) for x in queries[0]]
+    assigned = ivf_assign(data, refined)
+    got = [
+        (r["vec_id"], r["cos_r"])
+        for r in ann_topk_ivf(assigned, refined, qv, k=10, nprobe=10).collect()
+    ]
+    exact = [
+        (r["vec_id"], r["cos_r"])
+        for r in cosine_topk(data, qv, k=10).collect()
+    ]
+    assert got == exact
+
+
+def test_ivf_refine_is_deterministic(clustered_emb):
+    from tfidf_spark.operators.similarity import ivf_centroids, ivf_refine_centroids
+
+    s = ivf_centroids(clustered_emb, n_centroids=10, seed=13)
+    r1 = ivf_refine_centroids(clustered_emb, s, n_iter=2)
+    r2 = ivf_refine_centroids(clustered_emb.repartition(7), s, n_iter=2)
+    for (c1, v1), (c2, v2) in zip(r1, r2):
+        assert c1 == c2
+        assert np.allclose(v1, v2, atol=1e-9)

@@ -129,6 +129,68 @@ def ivf_centroids(
     return [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(rows)]
 
 
+def ivf_refine_centroids(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical-Lloyd refinement of ``ivf_centroids``'s
+    seeded sample: a FIXED number of iterations (no data-dependent stop),
+    cosine assignment with the same rounded-cosine / larger-cid
+    tie-break as ``ivf_assign``, and per-cluster means of L2-normalized
+    members re-normalized to unit length (spherical k-means — the right
+    Lloyd step under the cosine metric). Empty clusters keep their
+    previous centroid. Centroid ids and count are preserved, so the
+    output drops into ``ivf_assign``/``ann_topk_ivf`` unchanged, and
+    ``nprobe = n_centroids`` remains exactly brute force — the oracle
+    anchor is untouched while recall at small nprobe improves (measured
+    in test_similarity.py; the sampled-vs-refined recall@20 numbers live
+    in BENCH/IVF_RECALL.json).
+
+    Each iteration is one zero-shuffle assignment pass plus one
+    groupBy(cid) mean — O(n_centroids * dim) rows out, nothing
+    collected but the centroid matrix itself.
+    """
+    import pandas as pd
+
+    cents = [(int(c), [float(x) for x in v]) for c, v in centroids]
+    dim = len(cents[0][1])
+
+    def _mean_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        vm = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+        norms = np.sqrt((vm * vm).sum(axis=1))
+        norms[norms == 0] = 1.0
+        mean = (vm / norms[:, None]).mean(axis=0)
+        return pd.DataFrame(
+            {"cid": [int(pdf["cid"].iloc[0])], "centroid": [mean.tolist()]}
+        )
+
+    for _ in range(n_iter):
+        assigned = ivf_assign(emb, cents, vec_col=vec_col)
+        rows = (
+            assigned.select("cid", vec_col)
+            .groupBy("cid")
+            .applyInPandas(_mean_kernel, "cid long, centroid array<double>")
+            .collect()
+        )
+        means = {int(r["cid"]): np.asarray(r["centroid"], dtype=np.float64) for r in rows}
+        new_cents = []
+        for cid, old in cents:
+            m = means.get(cid)
+            if m is None:
+                new_cents.append((cid, old))
+                continue
+            n = float(np.sqrt((m * m).sum()))
+            if n == 0.0:
+                new_cents.append((cid, old))
+                continue
+            new_cents.append((cid, (m / n).tolist()))
+        cents = new_cents
+    assert all(len(v) == dim for _, v in cents)
+    return cents
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
