@@ -236,3 +236,82 @@ def test_stream_sessions(spark, tmp_path):
     assert s1[0][0] == base_us
     assert s1[0][1] == base_us + (20 + 30) * 60 * 1_000_000
     assert s1[0][2] == 3
+
+
+def test_stream_sessions_late_data_watermark(spark, tmp_path):
+    """Pins the documented watermark semantics of stream_sessions with an
+    explicit late-arrival fixture (VERDICT r3 #8):
+
+    - an event OLDER than (max event time - watermark) when its batch
+      runs is DROPPED — it neither opens a new session nor reopens the
+      finalized one;
+    - an out-of-order event still WITHIN the watermark is assigned into
+      its session like any on-time event.
+    """
+    import datetime as dt
+
+    from tfidf_spark.streaming.ingest import stream_sessions
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    def run_batches(tag, batches):
+        src = str(tmp_path / f"late_src_{tag}")
+        out = str(tmp_path / f"late_out_{tag}")
+        ckpt = str(tmp_path / f"late_ckpt_{tag}")
+        for rows in batches:
+            spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+                1
+            ).write.mode("append").parquet(src)
+            stream = (
+                spark.readStream.schema("user_id long, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = (
+                stream_sessions(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        return {
+            (r["user_id"], r["session_start_us"]): r["n_events"]
+            for r in spark.read.parquet(out).collect()
+        }
+
+    us = lambda minutes: int(m(minutes).timestamp() * 1_000_000)
+
+    # -- DROP case: batch 1's far-future event pushes the watermark way
+    # past user 1's session and finalizes it; batch 2's event at t=5min
+    # is then far below the watermark and must vanish entirely.
+    flush1, flush2 = m(200 * 60), m(400 * 60)
+    dropped = run_batches(
+        "drop",
+        [
+            [(1, m(0)), (1, m(10)), (1, m(20)), (9, flush1)],
+            [(1, m(5)), (9, flush2)],  # 5min << watermark: dropped
+        ],
+    )
+    assert dropped[(1, us(0))] == 3  # finalized session unchanged
+    assert [k for k in dropped if k[0] == 1] == [(1, us(0))]  # no new session
+
+    # -- ACCEPT case: after batch 1 the max event time is only t0+20min,
+    # so the watermark (1h) still covers t0-40min; the out-of-order event
+    # at t=5min in batch 2 must merge into the session before a later
+    # batch finalizes it.
+    accepted = run_batches(
+        "accept",
+        [
+            [(1, m(0)), (1, m(10)), (1, m(20))],
+            [(1, m(5))],  # out-of-order but within the watermark
+            [(9, flush1)],
+            [(9, flush2)],
+        ],
+    )
+    assert accepted[(1, us(0))] == 4  # late event counted into the session
