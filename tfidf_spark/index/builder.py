@@ -349,6 +349,10 @@ def build_index(
     )
     manifest = {
         "format_version": FORMAT_VERSION,
+        # provenance: which source snapshot this index was built from
+        # (the Iceberg snapshot fingerprint when the corpus came through
+        # load_corpus) — None for ad-hoc DataFrames
+        "source_snapshot": source_snapshot,
         "n_docs": n_docs,
         "avgdl": avgdl,
         # true cumulative token count: incremental merges use this for
