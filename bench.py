@@ -71,30 +71,48 @@ def main():
         timings[name] = round(statistics.median(vals), 3)
 
     # index pipeline on the synthetic corpus (tmpfs: /tmp is a throttled
-    # virtual disk in this sandbox)
+    # virtual disk in this sandbox). Like the headline suite, the
+    # pipeline rows are MEDIANS over interleaved passes — the r3 bench
+    # left index_build single-sampled and the host's 4x weather swings
+    # made it read as a +47% regression that wasn't there (VERDICT r3).
+    # Each pass builds into a FRESH directory so no pass reads the
+    # other's files.
     fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
     workdir = tempfile.mkdtemp(prefix="tfidf_bench_", dir=fast)
+    pipe_passes = int(os.environ.get("SPARK_GRAFT_PIPELINE_PASSES", "3"))
     try:
         corpus = with_doc_id(synth_corpus(spark, n_corpus, partitions=cpus * 2))
-        t0 = time.perf_counter()
-        build_index(corpus, f"{workdir}/idx", n_shards=max(4, cpus // 2))
-        build_sec = time.perf_counter() - t0
-        timings["index_build"] = round(build_sec, 3)
-
-        idx = load_index(spark, f"{workdir}/idx")
         qset = reference_queries(50)
         qdf = spark.createDataFrame(qset, "query_id long, terms array<string>, k int")
-        t0 = time.perf_counter()
-        n_results = bm25_query_index(idx, qdf).count()
-        timings["index_query_batch50"] = round(time.perf_counter() - t0, 3)
-
-        # large-batch path: shuffle join instead of a driver IN-list —
-        # the shape that scales past driver-collected term sets
         big = reference_queries(200)
         bigdf = spark.createDataFrame(big, "query_id long, terms array<string>, k int")
-        t0 = time.perf_counter()
-        bm25_query_index(idx, bigdf, prune_by_collect=False).count()
-        timings["index_query_batch200_join"] = round(time.perf_counter() - t0, 3)
+
+        pipe: dict[str, list[float]] = {
+            "index_build": [], "index_query_batch50": [],
+            "index_query_batch200_join": [],
+        }
+        idx = None
+        for i in range(pipe_passes):
+            idx_dir = f"{workdir}/p{i}/idx"
+            t0 = time.perf_counter()
+            build_index(corpus, idx_dir, n_shards=max(4, cpus // 2))
+            pipe["index_build"].append(time.perf_counter() - t0)
+
+            idx = load_index(spark, idx_dir)
+            t0 = time.perf_counter()
+            n_results = bm25_query_index(idx, qdf).count()
+            pipe["index_query_batch50"].append(time.perf_counter() - t0)
+
+            # large-batch path: shuffle join instead of a driver IN-list —
+            # the shape that scales past driver-collected term sets
+            t0 = time.perf_counter()
+            bm25_query_index(idx, bigdf, prune_by_collect=False).count()
+            pipe["index_query_batch200_join"].append(time.perf_counter() - t0)
+            if i < pipe_passes - 1:
+                shutil.rmtree(f"{workdir}/p{i}", ignore_errors=True)
+        for name, vals in pipe.items():
+            timings[name] = round(statistics.median(vals), 3)
+        build_sec = statistics.median(pipe["index_build"])
 
         from tfidf_spark.index.query import bm25_query_terms_local
 
