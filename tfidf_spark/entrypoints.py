@@ -725,6 +725,72 @@ def q_dup_components(spark, sf_dir):
     return dedup.connected_components(pairs.select("a", "b"))
 
 
+def q_dup_components_star(spark, sf_dir):
+    """Same closure as dup_components, computed by the O(log n)-round
+    large-star/small-star variant (dedup.connected_components_star,
+    Kiveris et al. SoCC'14) — label-identical to min-label propagation by
+    construction, so it shares the recursive-CTE oracle. Gating both
+    algorithms pins the equivalence in the driver, not just in pytest."""
+    sig = dedup.minhash_signatures(
+        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    )
+    pairs = dedup.lsh_candidate_pairs(sig, band_size=1, max_bucket=100)
+    return dedup.connected_components_star(pairs.select("a", "b"))
+
+
+def q_ann_ivf_refined_topk(spark, sf_dir):
+    """IVF with spherical-Lloyd-refined centroids
+    (similarity.ivf_refine_centroids). Probing ALL centroids keeps the
+    result exactly brute force REGARDLESS of where refinement moved the
+    centroids — so the oracle anchors the whole refined pipeline
+    (refine -> assign -> probe) while recall-at-small-nprobe improvements
+    are measured in test_similarity.py / BENCH/IVF_RECALL.json."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    data = emb.filter(F.col("vec_id") != 0)
+    cents = similarity.ivf_centroids(data, n_centroids=16, seed=13)
+    cents = similarity.ivf_refine_centroids(data, cents, n_iter=2)
+    assigned = similarity.ivf_assign(data, cents)
+    return similarity.ann_topk_ivf(
+        assigned, cents, [float(x) for x in qvec], k=20, nprobe=16
+    )
+
+
+def q_iceberg_roundtrip(spark, sf_dir):
+    """The north-rule input format, driver-gated: materialize the
+    documents table as a REAL Iceberg table (pure-Python spec
+    implementation, sources/iceberg_meta.py — metadata.json + Avro
+    manifests), read it back through load_corpus's snapshot resolution,
+    and emit per-row content hashes. Hash-matching the oracle's direct
+    scan proves the table format round-trips every row byte-identically
+    (the input_hint sha256 invariant)."""
+    import shutil
+    import tempfile
+
+    from tfidf_spark.sources import iceberg_meta
+    from tfidf_spark.sources.catalog import load_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    tbl = tempfile.mkdtemp(prefix="iceberg_gate_")
+    shutil.rmtree(tbl)  # write_table creates the tree itself
+    try:
+        iceberg_meta.write_table(docs, tbl)
+        df, fp = load_corpus(spark, tbl, fmt="iceberg")
+        assert fp.startswith("iceberg:"), fp
+        return (
+            df.select(
+                "doc_id",
+                F.sha2("text", 256).alias("content_sha"),
+                F.col("n_chars").cast("long").alias("n_chars"),
+            )
+            # materialize BEFORE the table dir is deleted: the driver
+            # collects lazily after this function returns
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -774,9 +840,12 @@ QUERIES = {
     "kmv_distinct_terms": q_kmv_distinct_terms,
     "kmv_distinct_docs": q_kmv_distinct_docs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_refined_topk": q_ann_ivf_refined_topk,
+    "iceberg_roundtrip": q_iceberg_roundtrip,
     "rls_scoped_docs": q_rls_scoped_docs,
     "events_hypertable_daily": q_events_hypertable_daily,
     "dup_components": q_dup_components,
+    "dup_components_star": q_dup_components_star,
 }
 
 # Shared DuckDB CTE prelude for token-level oracles. The simple char-class
@@ -1262,4 +1331,14 @@ ORACLES = {
               FROM z GROUP BY 1)
         SELECT vec_id, round(dot / (sqrt(nx) * sqrt(ny)), 6) AS cos_r
         FROM s ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC, vec_id LIMIT 20""",
+    "iceberg_roundtrip": """
+        SELECT doc_id, sha256(text) AS content_sha, n_chars::BIGINT AS n_chars
+        FROM documents""",
 }
+
+# label-identical by construction (large-star/small-star fixed point =
+# min-label closure), so the star variant shares the recursive-CTE
+# oracle; likewise nprobe=all IVF is exactly brute force regardless of
+# centroid refinement, so the refined pipeline shares the brute oracle.
+ORACLES["dup_components_star"] = ORACLES["dup_components"]
+ORACLES["ann_ivf_refined_topk"] = ORACLES["ann_ivf_topk"]
