@@ -128,7 +128,15 @@ def test_patch_deletes_equals_full_compact(spark, corpus, tmp_path):
 def test_patch_deletes_then_merge_and_move(spark, corpus, tmp_path):
     """A patched snapshot composes with the rest of the lifecycle: an
     incremental merge on top carries the shadow list (deleted docs stay
-    gone), and the whole chain still moves as a unit."""
+    gone), and the whole chain still moves as a unit.
+
+    NON-VACUITY (VERDICT r4 #1): victims are taken straight from the base
+    slice (guaranteed present — the r4 version queried the near-absent
+    term "w0", got zero victims, patched nothing, and never exercised the
+    shadow-carry branch that was in fact crashing), and the patch
+    manifest must prove runs were actually patched and shadowed before
+    the merge runs."""
+    import os
     import shutil
 
     from tfidf_spark.index.incremental import compact_index, patch_deletes
@@ -138,21 +146,43 @@ def test_patch_deletes_then_merge_and_move(spark, corpus, tmp_path):
     delta = corpus.filter(F.col("doc_id") % 4 == 0)
     build_index(base, str(root / "s0"), n_shards=4)
     idx = load_index(spark, str(root / "s0"))
-    victims = [
-        r["doc_id"] for r in bm25_query_terms(idx, ["w0"], k=3).collect()
-    ]
+    victims = [r["doc_id"] for r in base.limit(3).collect()]
+    assert len(victims) == 3
     delete_docs(idx, victims)
-    patch_deletes(load_index(spark, str(root / "s0")), str(root / "s1"))
+    pm = patch_deletes(load_index(spark, str(root / "s0")), str(root / "s1"))
+    # the composition under test requires a real patch segment + shadow list
+    assert pm["metrics"]["runs_patched"] >= 1
+    assert pm["shadowed_runs"] is True
+    assert os.path.isdir(str(root / "s1" / "shadowed_runs"))
 
     compact_index(
         load_index(spark, str(root / "s1")), delta, str(root / "s2"), force=True
     )
     merged = load_index(spark, str(root / "s2"))
+    assert merged.shadowed_runs is not None, "merge dropped the shadow list"
+    assert merged.n_docs == base.count() - 3 + delta.count()
     hits = {
         r["doc_id"]
         for r in bm25_query_terms(merged, ["w0", "w1"], k=200).collect()
     }
     assert not (hits & set(victims)), "patched deletes resurfaced after merge"
+    # the victims' own terms must not surface them either (victims are
+    # real docs here, so this probes the shadowed runs specifically)
+    from tfidf_spark.functions.tokenize import py_tokenize
+
+    vic_terms = sorted(
+        {
+            t
+            for r in base.limit(3).collect()
+            for t in py_tokenize(r["content"])[:4]
+        }
+    )[:4]
+    assert vic_terms, "victims tokenized to nothing — fixture broke"
+    vhits = {
+        r["doc_id"]
+        for r in bm25_query_terms(merged, vic_terms, k=500).collect()
+    }
+    assert not (vhits & set(victims))
     expected = [
         (r["doc_id"], round(r["score"], 9))
         for r in bm25_query_terms(merged, ["w0", "w1"], k=10).collect()
@@ -167,3 +197,53 @@ def test_patch_deletes_then_merge_and_move(spark, corpus, tmp_path):
         ).collect()
     ]
     assert got == expected
+
+
+def test_repatch_keeps_absolute_doc_stats(spark, corpus, tmp_path):
+    """patch_deletes on an ALREADY-PATCHED base must not double-subtract
+    previously applied deletes from n_docs/dl_sum (ADVICE r4: 100 docs,
+    patch 3, delete 2 more, re-patch gave n_docs=92 instead of 95), and a
+    duplicated tombstone (retried delete) must count once."""
+    from tfidf_spark.index.incremental import full_compact, patch_deletes
+
+    out = str(tmp_path / "ridx")
+    build_index(corpus, out, n_shards=4)
+    idx = load_index(spark, out)
+    # victims from a query result: guaranteed to HAVE postings (the
+    # corpus head is golden docs, some zero-token — limit(5) would pick
+    # those and vacuously patch nothing)
+    rows = [
+        r["doc_id"] for r in bm25_query_terms(idx, ["w1", "w2"], k=5).collect()
+    ]
+    assert len(rows) == 5
+    first, second = rows[:3], rows[3:]
+    delete_docs(idx, first)
+    p1 = str(tmp_path / "rp1")
+    m1 = patch_deletes(idx, p1)
+    assert m1["n_docs"] == 100 - 3
+    assert m1["metrics"]["runs_patched"] >= 1
+
+    idx1 = load_index(spark, p1)
+    # retry pattern: one of the new deletes is issued twice, and one
+    # already-applied victim is deleted again
+    delete_docs(idx1, second + [second[0], first[0]])
+    p2 = str(tmp_path / "rp2")
+    m2 = patch_deletes(load_index(spark, p1), p2)
+    assert m2["n_docs"] == 100 - 5, "double-decrement regression"
+    idx2 = load_index(spark, p2)
+    assert idx2.n_tombstones == 5  # deduped carry
+    assert idx2.n_unapplied_tombstones == 0
+
+    # dl_sum stays absolute: equals a full compact's recompute
+    fc = str(tmp_path / "rfc")
+    fm = full_compact(load_index(spark, p1), fc)
+    assert fm["n_docs"] == m2["n_docs"]
+    assert abs(fm["dl_sum"] - m2["dl_sum"]) < 1e-6
+
+    # and the scores agree with the full rewrite
+    for terms in (["w1", "w2"], ["w3"]):
+        pr = [(r["doc_id"], round(r["score"], 9))
+              for r in bm25_query_terms(idx2, terms, k=10).collect()]
+        fr = [(r["doc_id"], round(r["score"], 9))
+              for r in bm25_query_terms(load_index(spark, fc), terms, k=10).collect()]
+        assert pr == fr, terms

@@ -250,8 +250,12 @@ def patch_deletes(index: IndexHandle, out_dir: str) -> dict:
     out_abs = os.path.abspath(out_dir)
     os.makedirs(out_abs, exist_ok=True)
 
-    del_ids = np.array(
-        sorted(r["doc_id"] for r in ts.collect()), dtype=np.int64
+    # np.unique, not sorted(): delete_docs appends without dedup, so a
+    # retried delete produces duplicate tombstone rows — and the
+    # assume_unique=True np.isin calls below have UNDEFINED results on a
+    # non-unique test array (ADVICE r4 #2).
+    del_ids = np.unique(
+        np.fromiter((r["doc_id"] for r in ts.collect()), dtype=np.int64)
     )
     del_u = np.sort(to_unsigned(del_ids))
     affected_shards = [
@@ -263,11 +267,19 @@ def patch_deletes(index: IndexHandle, out_dir: str) -> dict:
         .collect()
     ]
 
-    # docs actually present (a tombstone for an unknown id deletes nothing)
-    present = index.doc_stats.join(ts, "doc_id", "left_semi").agg(
+    # n_docs/dl_sum are computed ABSOLUTELY (live docs = doc_stats
+    # anti-join tombstones, as full_compact does), never by decrementing
+    # the base manifest: doc_stats is carried by reference and still holds
+    # rows for previously-applied deletes, so on an already-patched base a
+    # decrement would double-subtract them (ADVICE r4 #3 — reproduced:
+    # patch 3 then 2 more gave n_docs=92 instead of 95). Parquet column
+    # pruning keeps this a 2-column scan; a tombstone for an unknown id
+    # deletes nothing by construction.
+    kept = index.doc_stats.join(ts, "doc_id", "left_anti").agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl")
     ).collect()[0]
-    n_deleted = int(present["n"])
+    n_docs_live = int(kept["n"])
+    dl_sum_live = float(kept["dl"] or 0.0)
 
     # carried segment refs, relative to the new snapshot (same scheme as
     # compact_index); the reader keys shadow rows by these ref strings
@@ -423,7 +435,12 @@ def patch_deletes(index: IndexHandle, out_dir: str) -> dict:
         .parquet(f"{out_abs}/term_stats")
     )
 
-    ts.write.mode("overwrite").parquet(f"{out_abs}/tombstones")
+    # the snapshot is being rewritten anyway — carry the tombstones
+    # DEDUPED so the new handle's n_tombstones equals the unique count
+    # actually applied to the postings below
+    ts.dropDuplicates(["doc_id"]).write.mode("overwrite").parquet(
+        f"{out_abs}/tombstones"
+    )
     patched.unpersist()
 
     doc_refs = [
@@ -434,19 +451,17 @@ def patch_deletes(index: IndexHandle, out_dir: str) -> dict:
     manifest.update(
         {
             "format_version": FORMAT_VERSION,
-            "n_docs": index.n_docs - n_deleted,
-            "dl_sum": float(
-                index.manifest.get("dl_sum", index.avgdl * index.n_docs)
-            )
-            - float(present["dl"] or 0.0),
+            "n_docs": n_docs_live,
+            "dl_sum": dl_sum_live,
             "segments": {
                 "term_postings": seg_refs + own_ref,
                 "doc_stats": doc_refs,
             },
             "shadowed_runs": has_shadow,
             # the query path's top-k over-fetch only needs to cover
-            # tombstones NOT yet physically applied to the postings
-            "postings_tombstones_applied": index.n_tombstones,
+            # tombstones NOT yet physically applied to the postings;
+            # unique count, matching the deduped file written above
+            "postings_tombstones_applied": int(del_ids.size),
             "metrics": {
                 "docs_tokenized": 0,
                 "postings_dropped": int(stats["drops"] or 0),
@@ -587,6 +602,24 @@ def compact_index(
     if n_carried:
         index.tombstones.write.mode("overwrite").parquet(f"{out_dir}/tombstones")
 
+    # Carried base segments are stored RELATIVE TO THIS SNAPSHOT's
+    # directory (e.g. "../base/term_postings"): a chain of snapshots under
+    # a common root can then be moved/renamed as a unit and every link
+    # keeps resolving. abspath first, because segment_paths() output is
+    # cwd-relative when the base index was opened via a relative path —
+    # writing that verbatim would re-resolve against the NEW snapshot's
+    # directory and break (ADVICE r3). Computed BEFORE the shadow-remap
+    # block below, which zips against these refs (ADVICE r4: referencing
+    # it later raised UnboundLocalError on every patched base).
+    out_abs = os.path.abspath(out_dir)
+    base_segs = {
+        name: [
+            os.path.relpath(os.path.abspath(p), out_abs)
+            for p in index.segment_paths(name)
+        ]
+        for name in ("term_postings", "doc_stats")
+    }
+
     # a patched base's shadow list must travel with its carried segments,
     # or the runs a patch superseded would resurrect in the merged view;
     # seg refs are remapped from base-relative to this snapshot's refs.
@@ -619,21 +652,6 @@ def compact_index(
             F.sum("n_bytes").alias("b"), F.sum("df_shard").alias("p")
         ).collect()[0]
     )
-    # Carried base segments are stored RELATIVE TO THIS SNAPSHOT's
-    # directory (e.g. "../base/term_postings"): a chain of snapshots under
-    # a common root can then be moved/renamed as a unit and every link
-    # keeps resolving. abspath first, because segment_paths() output is
-    # cwd-relative when the base index was opened via a relative path —
-    # writing that verbatim would re-resolve against the NEW snapshot's
-    # directory and break (ADVICE r3).
-    out_abs = os.path.abspath(out_dir)
-    base_segs = {
-        name: [
-            os.path.relpath(os.path.abspath(p), out_abs)
-            for p in index.segment_paths(name)
-        ]
-        for name in ("term_postings", "doc_stats")
-    }
     manifest = dict(index.manifest)
     manifest.update(
         {

@@ -472,6 +472,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     algorithm: str = "label",
+    star_max_iter: int | None = None,
 ) -> DataFrame:
     """(doc_id, component_id): transitive closure of the near-dup pair
     graph — component_id = the minimum doc_id reachable from each node.
@@ -514,9 +515,17 @@ def connected_components(
     """
     if algorithm not in ("label", "star", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    # the star path honors the caller's round budget: star_max_iter if
+    # given, else the star default — label's 30 would be wrong for an
+    # O(log n) algorithm whose budget is a different unit (ADVICE r4 #4)
+    star_iters = (
+        star_max_iter
+        if star_max_iter is not None
+        else connected_components_star.__defaults__[0]
+    )
     if algorithm == "star":
         return connected_components_star(
-            edges, a_col=a_col, b_col=b_col
+            edges, max_iter=star_iters, a_col=a_col, b_col=b_col
         )
     if algorithm == "auto":
         try:
@@ -525,7 +534,7 @@ def connected_components(
             )
         except RuntimeError:
             return connected_components_star(
-                edges, a_col=a_col, b_col=b_col
+                edges, max_iter=star_iters, a_col=a_col, b_col=b_col
             )
     # materialize the symmetric edge list ONCE: every round joins against
     # it, and an unmaterialized lineage would re-run the upstream pair
