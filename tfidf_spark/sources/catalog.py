@@ -16,7 +16,11 @@ content)`` (BASELINE.json input_hint). Two Iceberg paths exist:
 
 from __future__ import annotations
 
+import os
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -34,11 +38,174 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_FILE_COL, _POS_COL, _DSEQ_COL = "__iceberg_file", "__iceberg_pos", "__iceberg_dseq"
+
+
+def read_table(
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+    _with_position: bool = False,
+) -> tuple[DataFrame, int]:
+    """Read a pure-Python-format Iceberg table -> (df, resolved snapshot
+    id), with the full spec read path:
+
+    - **partition pruning**: ``partition_filter`` ({col: value-or-list})
+      prunes manifests via their field summaries and files via their
+      partition tuples BEFORE Spark ever lists them (identity spec);
+      hive-style data layout + ``basePath`` lets Spark reconstruct the
+      partition columns, so the scan's schema matches the written frame.
+    - **merge-on-read deletes**: position-delete files are applied by
+      anti-joining ``(_metadata.file_path, _metadata.row_index)`` —
+      Spark's per-file row position, exactly the spec's ``pos`` — scoped
+      to data files with data_seq <= delete_seq; equality-delete files
+      anti-join their key columns scoped to data_seq < delete_seq. Both
+      delete sides are broadcast (delete files are metadata-sized next to
+      the data), so no extra shuffle lands on the scan.
+    """
+    from tfidf_spark.sources import iceberg_meta
+
+    ent = iceberg_meta.snapshot_entries(
+        table_dir, snapshot_id=snapshot_id, partition_filter=partition_filter
+    )
+    if not ent["data"]:
+        raise ValueError(
+            f"Iceberg snapshot {ent['snapshot_id']} lists no data files"
+            + (f" for partition filter {partition_filter}" if partition_filter else "")
+        )
+    data_dir = os.path.join(os.path.abspath(table_dir), "data")
+    df = (
+        spark.read.option("basePath", data_dir)
+        .parquet(*[d["path"] for d in ent["data"]])
+    )
+    pos, eq = ent["pos_deletes"], ent["eq_deletes"]
+    if not pos and not eq and not _with_position:
+        return df, ent["snapshot_id"]
+
+    df = df.withColumns(
+        {
+            _FILE_COL: F.col("_metadata.file_path"),
+            _POS_COL: F.col("_metadata.row_index"),
+        }
+    )
+    if not pos and not eq:
+        return df, ent["snapshot_id"]
+    # per-file data sequence numbers (metadata-sized -> broadcast);
+    # _metadata.file_path is a Hadoop-style "file:/abs/path" URI (single
+    # slash, no authority), manifest paths are absolute
+    seq_map = spark.createDataFrame(
+        [(f"file:{d['path']}", d["seq"]) for d in ent["data"]],
+        f"{_FILE_COL} string, {_DSEQ_COL} long",
+    )
+    df = df.join(F.broadcast(seq_map), _FILE_COL, "left")
+
+    if pos:
+        dels = reduce(
+            DataFrame.unionByName,
+            [
+                spark.read.parquet(p["path"]).withColumn(
+                    "_delseq", F.lit(p["seq"]).cast("long")
+                )
+                for p in pos
+            ],
+        ).select(
+            F.concat(F.lit("file:"), F.col("file_path")).alias("_dfile"),
+            F.col("pos").alias("_dpos"),
+            "_delseq",
+        )
+        df = df.join(
+            F.broadcast(dels),
+            (F.col(_FILE_COL) == F.col("_dfile"))
+            & (F.col(_POS_COL) == F.col("_dpos"))
+            & (F.col(_DSEQ_COL) <= F.col("_delseq")),
+            "left_anti",
+        )
+    for e in eq:
+        if not e["equality_cols"]:
+            raise ValueError(f"equality delete file {e['path']} has no equality_ids")
+        d = (
+            spark.read.parquet(e["path"])
+            .select(*e["equality_cols"])
+            .withColumn("_delseq", F.lit(e["seq"]).cast("long"))
+        )
+        cond = reduce(
+            lambda a, b: a & b,
+            [df[c].eqNullSafe(d[c]) for c in e["equality_cols"]],
+        ) & (df[_DSEQ_COL] < d["_delseq"])
+        df = df.join(F.broadcast(d), cond, "left_anti")
+    df = df.drop(_DSEQ_COL)
+    if not _with_position:
+        df = df.drop(_FILE_COL, _POS_COL)
+    return df, ent["snapshot_id"]
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    condition,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """Engine-style merge-on-read DELETE: find the (file, position) of
+    every CURRENTLY-LIVE row matching ``condition`` (string or Column)
+    and commit them as a position-delete snapshot — no data file is
+    rewritten (O(matched rows) I/O, like the index's tombstones).
+
+    Fully distributed: the matched positions are written straight to
+    parquet delete files by the executors (range-partitioned by
+    file_path, sorted (file_path, pos) within each file per the spec's
+    delete-file ordering) — nothing is collected to the driver, so a
+    DELETE touching billions of rows at 100 TB stays a shuffle-write, not
+    a driver OOM. Returns the new snapshot id; a no-match condition
+    commits nothing and returns the current snapshot id."""
+    import glob as _glob
+    import shutil
+
+    from tfidf_spark.sources import iceberg_meta
+
+    df, resolved = read_table(spark, table_dir, _with_position=True)
+    hits = df.filter(condition).select(
+        F.expr(f"substring({_FILE_COL}, 6)").alias("file_path"),
+        F.col(_POS_COL).alias("pos"),
+    )
+    staging = os.path.join(table_dir, "_delete_staging")
+    (
+        hits.repartitionByRange(max(1, hits.rdd.getNumPartitions() // 8), "file_path")
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    import pyarrow.parquet as pq
+
+    parts = sorted(_glob.glob(os.path.join(staging, "*.parquet")))
+    moved = []
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    for p in parts:
+        if pq.ParquetFile(p).metadata.num_rows == 0:
+            continue
+        import hashlib
+
+        dst = os.path.join(
+            data_dir,
+            "pd-" + hashlib.sha256(p.encode()).hexdigest()[:16] + ".parquet",
+        )
+        shutil.move(p, dst)
+        moved.append(dst)
+    shutil.rmtree(staging)
+    if not moved:
+        return resolved
+    return iceberg_meta.commit_position_delete_files(
+        table_dir, moved, timestamp_ms=timestamp_ms
+    )
+
+
 def load_corpus(
     spark: SparkSession,
     source: str,
     fmt: str = "auto",
     snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> tuple[DataFrame, str]:
     """Load the corpus; returns (df, fingerprint).
 
@@ -80,29 +247,50 @@ def load_corpus(
             return df, fp
         # pure-Python table-format path (sources/iceberg_meta.py): walk the
         # spec's metadata tree to the snapshot's live parquet files and
-        # scan those directly — pushdown/pruning intact per file. The
-        # fingerprint is the RESOLVED snapshot id, so "current" that moved
-        # between runs changes the resume fingerprint, exactly as the
-        # checkpoint contract needs.
-        files, resolved = iceberg_meta.live_data_files(
-            source, snapshot_id=snapshot_id
+        # scan those directly — pushdown/pruning intact per file, identity
+        # partition pruning applied BEFORE listing, merge-on-read deletes
+        # applied via broadcast anti-joins (read_table). The fingerprint is
+        # the RESOLVED snapshot id, so "current" that moved between runs
+        # changes the resume fingerprint, exactly as the checkpoint
+        # contract needs.
+        df, resolved = read_table(
+            spark,
+            source,
+            snapshot_id=snapshot_id,
+            partition_filter=partition_filter,
         )
-        if not files:
-            raise ValueError(f"Iceberg snapshot {resolved} lists no data files")
-        return spark.read.parquet(*files), f"iceberg:{source}@{resolved}"
+        fp = f"iceberg:{source}@{resolved}"
+        if partition_filter:
+            fp += f"?{sorted(partition_filter.items())!r}"
+        return df, fp
+    if partition_filter:
+        raise ValueError("partition_filter requires an Iceberg source")
     return spark.read.parquet(source), f"parquet:{source}"
 
 
-def write_table(df: DataFrame, target: str, fmt: str = "parquet") -> None:
+def write_table(
+    df: DataFrame,
+    target: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+) -> None:
     """Overwrite write for parquet; for Iceberg, a DSv2 createOrReplace
     when a runtime jar is present, else an append snapshot through the
-    pure-Python metadata writer (sources/iceberg_meta.py)."""
+    pure-Python metadata writer (sources/iceberg_meta.py). ``partition_by``
+    creates an identity-partitioned table (hive data layout + partition
+    tuples in the manifests) on first write."""
     if fmt == "iceberg":
         if iceberg_available(df.sparkSession):
-            df.writeTo(target).createOrReplace()
+            w = df.writeTo(target)
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
         else:
             from tfidf_spark.sources import iceberg_meta
 
-            iceberg_meta.write_table(df, target)
+            iceberg_meta.write_table(df, target, partition_by=partition_by)
     else:
-        df.write.mode("overwrite").parquet(target)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)

@@ -48,53 +48,130 @@ from tfidf_spark.sources.avro import read_container, write_container
 # manifest_entry writer schema (spec "Manifests", format-version 2):
 # field names and ids per the spec table; stats columns that this writer
 # leaves NULL are declared optional, exactly like real minimal manifests.
-_DATA_FILE_SCHEMA = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {
-            "name": "partition",
-            "type": {"type": "record", "name": "r102", "fields": []},
-            "field-id": 102,
-        },
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-        {
-            "name": "sort_order_id",
-            "type": ["null", "int"],
-            "default": None,
-            "field-id": 140,
-        },
-    ],
+# The partition record is PER-SPEC (one avro field per partition field,
+# field-ids 1000+), so the schema is built dynamically.
+_ICEBERG_TO_AVRO = {
+    "string": "string",
+    "long": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "bytes",
 }
 
-MANIFEST_ENTRY_SCHEMA = {
+
+def _partition_record_schema(part_fields: list[dict]) -> dict:
+    """Avro record type for data_file.partition under a given spec:
+    one nullable field per partition field (spec field-ids 1000+)."""
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", _ICEBERG_TO_AVRO[pf["iceberg_type"]]],
+                "default": None,
+                "field-id": pf["field-id"],
+            }
+            for pf in part_fields
+        ],
+    }
+
+
+def _data_file_schema(part_fields: list[dict]) -> dict:
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": _partition_record_schema(part_fields),
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+                "default": None,
+                "field-id": 135,
+            },
+            {
+                "name": "sort_order_id",
+                "type": ["null", "int"],
+                "default": None,
+                "field-id": 140,
+            },
+        ],
+    }
+
+
+def manifest_entry_schema(part_fields: list[dict] | None = None) -> dict:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {
+                "name": "data_file",
+                "type": _data_file_schema(part_fields or []),
+                "field-id": 2,
+            },
+        ],
+    }
+
+
+# kept for callers/tests that reference the unpartitioned shape
+MANIFEST_ENTRY_SCHEMA = manifest_entry_schema([])
+
+# manifest_file.partitions (spec field 507): per-partition-field value
+# summaries used for MANIFEST-LEVEL pruning — a reader can skip an entire
+# manifest when the filter value falls outside [lower, upper].
+_FIELD_SUMMARY_SCHEMA = {
     "type": "record",
-    "name": "manifest_entry",
+    "name": "r507",
     "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
         {
-            "name": "snapshot_id",
-            "type": ["null", "long"],
+            "name": "contains_nan",
+            "type": ["null", "boolean"],
             "default": None,
-            "field-id": 1,
+            "field-id": 518,
         },
         {
-            "name": "sequence_number",
-            "type": ["null", "long"],
+            "name": "lower_bound",
+            "type": ["null", "bytes"],
             "default": None,
-            "field-id": 3,
+            "field-id": 510,
         },
         {
-            "name": "file_sequence_number",
-            "type": ["null", "long"],
+            "name": "upper_bound",
+            "type": ["null", "bytes"],
             "default": None,
-            "field-id": 4,
+            "field-id": 511,
         },
-        {"name": "data_file", "type": _DATA_FILE_SCHEMA, "field-id": 2},
     ],
 }
 
@@ -115,6 +192,12 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY_SCHEMA}],
+            "default": None,
+            "field-id": 507,
+        },
     ],
 }
 
@@ -169,39 +252,228 @@ def resolve_snapshot(meta: dict, snapshot_id: int | None = None) -> dict:
     raise ValueError(f"snapshot {sid} not found in table metadata")
 
 
-def live_data_files(
-    table_dir: str, snapshot_id: int | None = None
-) -> tuple[list[str], int]:
-    """-> (live parquet file paths at the snapshot, resolved snapshot id).
+# --------------------------------------------------------------------------
+# single-value binary (de)serialization for partition bounds
+# (spec "Binary single-value serialization")
+# --------------------------------------------------------------------------
 
-    Spec resolution: the snapshot's manifest list enumerates manifests;
-    each manifest's entries with status != DELETED are live. Delete
-    manifests (merge-on-read) raise NotImplementedError — out of scope
-    for this writer, surfaced loudly rather than silently mis-read."""
+
+def _bound_bytes(value, iceberg_type: str) -> bytes:
+    import struct
+
+    if iceberg_type == "string":
+        return str(value).encode("utf-8")
+    if iceberg_type == "long":
+        return struct.pack("<q", int(value))
+    if iceberg_type == "int":
+        return struct.pack("<i", int(value))
+    if iceberg_type == "double":
+        return struct.pack("<d", float(value))
+    if iceberg_type == "float":
+        return struct.pack("<f", float(value))
+    if iceberg_type == "boolean":
+        return b"\x01" if value else b"\x00"
+    raise NotImplementedError(f"bound serialization for {iceberg_type!r}")
+
+
+def _bound_value(raw: bytes | None, iceberg_type: str):
+    import struct
+
+    if raw is None:
+        return None
+    raw = bytes(raw)
+    if iceberg_type == "string":
+        return raw.decode("utf-8")
+    if iceberg_type == "long":
+        return struct.unpack("<q", raw)[0]
+    if iceberg_type == "int":
+        return struct.unpack("<i", raw)[0]
+    if iceberg_type == "double":
+        return struct.unpack("<d", raw)[0]
+    if iceberg_type == "float":
+        return struct.unpack("<f", raw)[0]
+    if iceberg_type == "boolean":
+        return raw != b"\x00"
+    raise NotImplementedError(f"bound deserialization for {iceberg_type!r}")
+
+
+def partition_fields(meta: dict) -> list[dict]:
+    """Default partition spec resolved against the current schema ->
+    [{name, field-id, source-id, iceberg_type}] (identity transforms only
+    — the only transform this writer produces)."""
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next(
+        s for s in meta.get("partition-specs", []) if s["spec-id"] == spec_id
+    )
+    schema = next(
+        s
+        for s in meta.get("schemas", [])
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    types = {f["id"]: f["type"] for f in schema["fields"]}
+    out = []
+    for pf in spec.get("fields", []):
+        if pf["transform"] != "identity":
+            raise NotImplementedError(
+                f"partition transform {pf['transform']!r} (identity only)"
+            )
+        out.append(
+            {
+                "name": pf["name"],
+                "field-id": pf["field-id"],
+                "source-id": pf["source-id"],
+                "iceberg_type": types[pf["source-id"]],
+            }
+        )
+    return out
+
+
+def _normalize_filter(partition_filter: dict | None) -> dict[str, set] | None:
+    if not partition_filter:
+        return None
+    return {
+        k: set(v) if isinstance(v, (list, tuple, set, frozenset)) else {v}
+        for k, v in partition_filter.items()
+    }
+
+
+def snapshot_entries(
+    table_dir: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+) -> dict:
+    """Full spec resolution of one snapshot -> ::
+
+        {"snapshot_id": int,
+         "partition_fields": [...],          # identity spec fields
+         "data": [{"path", "partition", "seq", "record_count"}],
+         "pos_deletes": [{"path", "seq"}],
+         "eq_deletes": [{"path", "seq", "equality_cols"}]}
+
+    ``partition_filter`` ({col: value-or-list}) prunes at BOTH levels the
+    spec provides: whole manifests via the manifest list's per-field
+    [lower_bound, upper_bound] summaries (field 507), then individual
+    files via their exact partition tuples — the same two-level skip a
+    real Iceberg reader performs, so a filtered scan never opens
+    manifests (or lists files) outside the requested partitions. Delete
+    files are scoped by sequence number downstream (position: data_seq <=
+    delete_seq; equality: data_seq < delete_seq)."""
     meta = current_metadata(table_dir)
     snap = resolve_snapshot(meta, snapshot_id)
+    pfields = partition_fields(meta)
+    by_name = {pf["name"]: pf for pf in pfields}
+    flt = _normalize_filter(partition_filter)
+    if flt:
+        unknown = set(flt) - set(by_name)
+        if unknown:
+            raise ValueError(
+                f"partition filter on non-partition columns: {sorted(unknown)}"
+            )
+    id_to_col = {}
+    for s in meta.get("schemas", []):
+        for f in s["fields"]:
+            id_to_col[f["id"]] = f["name"]
+
     mlist_path = _strip_file_uri(snap["manifest-list"])
     _, manifests = read_container(mlist_path)
-    files: list[str] = []
+    out = {
+        "snapshot_id": snap["snapshot-id"],
+        "partition_fields": pfields,
+        "data": [],
+        "pos_deletes": [],
+        "eq_deletes": [],
+    }
     for mf in manifests:
-        if mf.get("content", 0) != 0:
-            raise NotImplementedError(
-                "delete manifests (merge-on-read) are not supported by the "
-                "pure-Python Iceberg reader; compact the table first"
-            )
+        # manifest-level pruning from the field summaries
+        if flt and mf.get("partitions"):
+            skip = False
+            for pf, summary in zip(pfields, mf["partitions"]):
+                want = flt.get(pf["name"])
+                if want is None:
+                    continue
+                lo = _bound_value(summary.get("lower_bound"), pf["iceberg_type"])
+                hi = _bound_value(summary.get("upper_bound"), pf["iceberg_type"])
+                if (
+                    lo is not None
+                    and hi is not None
+                    and not any(lo <= v <= hi for v in want)
+                    and not summary.get("contains_null", False)
+                ):
+                    skip = True
+                    break
+            if skip:
+                continue
         _, entries = read_container(_strip_file_uri(mf["manifest_path"]))
         for e in entries:
             if e["status"] == STATUS_DELETED:
                 continue
             df = e["data_file"]
-            if df.get("content", CONTENT_DATA) != CONTENT_DATA:
-                raise NotImplementedError("delete files are not supported")
             if df["file_format"].upper() != "PARQUET":
                 raise NotImplementedError(
                     f"unsupported data file format {df['file_format']!r}"
                 )
-            files.append(_strip_file_uri(df["file_path"]))
-    return files, snap["snapshot-id"]
+            # the entry's data sequence number: explicit, or inherited
+            # from the manifest that added it (spec inheritance rule)
+            seq = e.get("sequence_number")
+            if seq is None:
+                seq = mf["sequence_number"]
+            content = df.get("content", CONTENT_DATA)
+            path = _strip_file_uri(df["file_path"])
+            # spec: data files live in content=0 manifests, delete files
+            # in content=1 manifests — a mismatch is corrupt metadata
+            if (mf.get("content", 0) != 0) != (content != CONTENT_DATA):
+                raise ValueError(
+                    f"corrupt manifest {mf['manifest_path']}: "
+                    f"manifest content={mf.get('content', 0)} holds a "
+                    f"data_file with content={content}"
+                )
+            if content == CONTENT_DATA:
+                part = df.get("partition") or {}
+                if flt and any(
+                    name in part and part[name] not in want
+                    for name, want in flt.items()
+                ):
+                    continue
+                out["data"].append(
+                    {
+                        "path": path,
+                        "partition": dict(part),
+                        "seq": seq,
+                        "record_count": df.get("record_count", 0),
+                    }
+                )
+            elif content == CONTENT_POSITION_DELETES:
+                out["pos_deletes"].append({"path": path, "seq": seq})
+            elif content == CONTENT_EQUALITY_DELETES:
+                ids = df.get("equality_ids") or []
+                out["eq_deletes"].append(
+                    {
+                        "path": path,
+                        "seq": seq,
+                        "equality_cols": [id_to_col[i] for i in ids],
+                    }
+                )
+            else:
+                raise NotImplementedError(f"data_file.content={content}")
+    return out
+
+
+def live_data_files(
+    table_dir: str, snapshot_id: int | None = None
+) -> tuple[list[str], int]:
+    """-> (live parquet file paths at the snapshot, resolved snapshot id).
+
+    Plain-files view for callers that scan parquet directly WITHOUT
+    merge-on-read semantics; a snapshot carrying live delete files raises
+    loudly here (reading the data files alone would resurrect deleted
+    rows) — use ``catalog.read_table`` / ``snapshot_entries`` instead."""
+    ent = snapshot_entries(table_dir, snapshot_id=snapshot_id)
+    if ent["pos_deletes"] or ent["eq_deletes"]:
+        raise NotImplementedError(
+            "snapshot carries merge-on-read delete files; read it through "
+            "catalog.read_table (applies them) or compact the table"
+        )
+    return [d["path"] for d in ent["data"]], ent["snapshot_id"]
 
 
 def snapshot_ids(table_dir: str) -> list[int]:
@@ -255,12 +527,55 @@ def _snapshot_id_for(files: list[str], parent: int | None) -> int:
     return int.from_bytes(h[:8], "big") & ((1 << 62) - 1)
 
 
+def _field_summaries(
+    pfields: list[dict], parts: list[dict]
+) -> list[dict] | None:
+    """Per-partition-field value summaries over a manifest's entries
+    (manifest_file.partitions, spec field 507) — the data manifest-level
+    pruning reads back in ``snapshot_entries``."""
+    if not pfields:
+        return None
+    out = []
+    for pf in pfields:
+        vals = [p.get(pf["name"]) for p in parts]
+        nonnull = [v for v in vals if v is not None]
+        out.append(
+            {
+                "contains_null": any(v is None for v in vals),
+                "contains_nan": None,
+                "lower_bound": (
+                    _bound_bytes(min(nonnull), pf["iceberg_type"])
+                    if nonnull
+                    else None
+                ),
+                "upper_bound": (
+                    _bound_bytes(max(nonnull), pf["iceberg_type"])
+                    if nonnull
+                    else None
+                ),
+            }
+        )
+    return out
+
+
 def _write_manifest(
-    md: str, files: list[str], snapshot_id: int, seq: int
+    md: str,
+    files: list,
+    snapshot_id: int,
+    seq: int,
+    pfields: list[dict] | None = None,
+    content: int = CONTENT_DATA,
+    equality_ids: list[int] | None = None,
 ) -> dict:
+    """Write one manifest for ``files`` — each a path or a
+    ``(path, partition_dict)`` pair — and return its manifest_file record
+    for the manifest list. ``content`` selects data vs position/equality
+    delete manifests (merge-on-read)."""
+    pfields = pfields or []
+    pairs = [(p, {}) if isinstance(p, str) else (p[0], dict(p[1])) for p in files]
     entries = []
     total_rows = 0
-    for p in files:
+    for p, part in pairs:
         size = os.path.getsize(p)
         entries.append(
             {
@@ -269,45 +584,68 @@ def _write_manifest(
                 "sequence_number": None,  # inherited from the manifest
                 "file_sequence_number": None,
                 "data_file": {
-                    "content": CONTENT_DATA,
+                    "content": content,
                     "file_path": os.path.abspath(p),
                     "file_format": "PARQUET",
-                    "partition": {},
+                    "partition": part,
                     "record_count": _parquet_row_count(p),
                     "file_size_in_bytes": size,
+                    "equality_ids": equality_ids,
                     "sort_order_id": None,
                 },
             }
         )
         total_rows += entries[-1]["data_file"]["record_count"]
-    name = f"m-{hashlib.sha256(repr(sorted(files)).encode()).hexdigest()[:16]}.avro"
+    spec_fields_json = json.dumps(
+        [
+            {
+                "name": pf["name"],
+                "transform": "identity",
+                "source-id": pf["source-id"],
+                "field-id": pf["field-id"],
+            }
+            for pf in pfields
+        ]
+    ).encode()
+    name = (
+        "m-"
+        + hashlib.sha256(
+            repr(sorted(p for p, _ in pairs)).encode()
+        ).hexdigest()[:16]
+        + ".avro"
+    )
     path = os.path.join(md, name)
     write_container(
         path,
-        MANIFEST_ENTRY_SCHEMA,
+        manifest_entry_schema(pfields),
         entries,
         extra_meta={
             "schema": b"{}",
-            "partition-spec": b"[]",
+            "partition-spec": spec_fields_json,
             "partition-spec-id": b"0",
             "format-version": b"2",
-            "content": b"data",
+            "content": {
+                CONTENT_DATA: b"data",
+                CONTENT_POSITION_DELETES: b"deletes",
+                CONTENT_EQUALITY_DELETES: b"deletes",
+            }[content],
         },
     )
     return {
         "manifest_path": os.path.abspath(path),
         "manifest_length": os.path.getsize(path),
         "partition_spec_id": 0,
-        "content": 0,
+        "content": 0 if content == CONTENT_DATA else 1,
         "sequence_number": seq,
         "min_sequence_number": seq,
         "added_snapshot_id": snapshot_id,
-        "added_files_count": len(files),
+        "added_files_count": len(pairs),
         "existing_files_count": 0,
         "deleted_files_count": 0,
         "added_rows_count": total_rows,
         "existing_rows_count": 0,
         "deleted_rows_count": 0,
+        "partitions": _field_summaries(pfields, [part for _, part in pairs]),
     }
 
 
@@ -317,20 +655,21 @@ def _parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-def commit_append(
+def _commit(
     table_dir: str,
-    new_data_files: list[str],
+    files: list,
+    content: int,
+    operation: str,
     spark_schema=None,
     timestamp_ms: int = 1_700_000_000_000,
+    partition_by: list[str] | None = None,
+    equality_ids: list[int] | None = None,
 ) -> int:
-    """Append ``new_data_files`` as a new snapshot; creates the table on
-    first commit. Returns the new snapshot id.
-
-    The commit is the spec's append shape: one new manifest for the added
-    files, prior manifests carried BY REFERENCE in the new manifest list,
-    a new metadata.json with the snapshot appended (parent-snapshot-id
-    chained) and version-hint bumped. Deterministic: ids derive from file
-    lists, the timestamp is a parameter."""
+    """Shared commit core: write one manifest for ``files`` (data or
+    delete content), carry prior manifests BY REFERENCE in a new manifest
+    list, append the snapshot to a new metadata.json, bump version-hint.
+    Deterministic: ids derive from file lists, the timestamp is a
+    parameter."""
     md = _meta_dir(table_dir)
     os.makedirs(md, exist_ok=True)
     if is_iceberg_table(table_dir):
@@ -345,6 +684,21 @@ def commit_append(
     else:
         if spark_schema is None:
             raise ValueError("spark_schema is required for the first commit")
+        if content != CONTENT_DATA:
+            raise ValueError("a table cannot start with a delete snapshot")
+        col_ids = {f.name: i for i, f in enumerate(spark_schema.fields, 1)}
+        spec_fields = []
+        for i, col in enumerate(partition_by or []):
+            if col not in col_ids:
+                raise ValueError(f"partition column {col!r} not in schema")
+            spec_fields.append(
+                {
+                    "name": col,
+                    "transform": "identity",
+                    "source-id": col_ids[col],
+                    "field-id": 1000 + i,
+                }
+            )
         meta = {
                 "format-version": 2,
                 "table-uuid": hashlib.sha256(
@@ -357,7 +711,7 @@ def commit_append(
                 "current-schema-id": 0,
                 "schemas": [_iceberg_schema(spark_schema)],
                 "default-spec-id": 0,
-                "partition-specs": [{"spec-id": 0, "fields": []}],
+                "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
                 "default-sort-order-id": 0,
                 "sort-orders": [{"order-id": 0, "fields": []}],
                 "properties": {},
@@ -367,13 +721,34 @@ def commit_append(
                 "metadata-log": [],
             }
         version = 1
+    pfields = partition_fields(meta)
+    # coerce hive-string partition values to the spec's column types so
+    # bounds and entry tuples are typed consistently
+    typed_files = []
+    for f in files:
+        if isinstance(f, str):
+            typed_files.append(f)
+        else:
+            p, part = f
+            typed_files.append(
+                (p, {pf["name"]: _coerce(part.get(pf["name"]), pf["iceberg_type"]) for pf in pfields})
+            )
 
     parent = meta.get("current-snapshot-id")
     parent = None if parent in (None, -1) else parent
     seq = int(meta.get("last-sequence-number", 0)) + 1
-    snapshot_id = _snapshot_id_for(new_data_files, parent)
+    paths = [f if isinstance(f, str) else f[0] for f in typed_files]
+    snapshot_id = _snapshot_id_for(paths, parent)
 
-    manifest = _write_manifest(md, new_data_files, snapshot_id, seq)
+    manifest = _write_manifest(
+        md,
+        typed_files,
+        snapshot_id,
+        seq,
+        pfields=pfields,
+        content=content,
+        equality_ids=equality_ids,
+    )
     carried = []
     if parent is not None:
         prev = resolve_snapshot(meta, parent)
@@ -389,7 +764,10 @@ def commit_append(
     )
 
     added_rows = manifest["added_rows_count"]
-    total_rows = sum(m["added_rows_count"] for m in manifests)
+    total_rows = sum(
+        m["added_rows_count"] for m in manifests if m.get("content", 0) == 0
+    )
+    key = "added-data-files" if content == CONTENT_DATA else "added-delete-files"
     snap = {
         "snapshot-id": snapshot_id,
         "sequence-number": seq,
@@ -397,12 +775,16 @@ def commit_append(
         "manifest-list": os.path.abspath(mlist_path),
         "schema-id": 0,
         "summary": {
-            "operation": "append",
-            "added-data-files": str(manifest["added_files_count"]),
+            "operation": operation,
+            key: str(manifest["added_files_count"]),
             "added-records": str(added_rows),
             "total-records": str(total_rows),
             "total-data-files": str(
-                sum(m["added_files_count"] for m in manifests)
+                sum(
+                    m["added_files_count"]
+                    for m in manifests
+                    if m.get("content", 0) == 0
+                )
             ),
         },
     }
@@ -425,39 +807,214 @@ def commit_append(
     return snapshot_id
 
 
+def _coerce(value, iceberg_type: str):
+    if value is None:
+        return None
+    if iceberg_type in ("long", "int"):
+        return int(value)
+    if iceberg_type in ("double", "float"):
+        return float(value)
+    if iceberg_type == "boolean":
+        return value in (True, "true", "True", 1)
+    return str(value)
+
+
+def commit_append(
+    table_dir: str,
+    new_data_files: list,
+    spark_schema=None,
+    timestamp_ms: int = 1_700_000_000_000,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Append ``new_data_files`` — paths, or ``(path, partition_dict)``
+    pairs for a partitioned table — as a new snapshot; creates the table
+    (with an identity partition spec over ``partition_by``) on first
+    commit. Returns the new snapshot id."""
+    return _commit(
+        table_dir,
+        new_data_files,
+        CONTENT_DATA,
+        "append",
+        spark_schema=spark_schema,
+        timestamp_ms=timestamp_ms,
+        partition_by=partition_by,
+    )
+
+
+def commit_position_deletes(
+    table_dir: str,
+    deletes: list[tuple[str, int]],
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """Merge-on-read POSITION deletes (spec "Position Delete Files"):
+    write one parquet delete file of ``(file_path, pos)`` rows — sorted
+    by file_path then pos as the spec requires — and commit it under a
+    delete manifest (content=1). No data file is rewritten; readers apply
+    the deletes to data files with data_seq <= this commit's seq
+    (``catalog.read_table`` does, via an anti-join on Spark's
+    ``_metadata.file_path``/``row_index`` columns)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = sorted((os.path.abspath(p), int(pos)) for p, pos in deletes)
+    table = pa.table(
+        {
+            "file_path": pa.array([r[0] for r in rows], pa.string()),
+            "pos": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    name = (
+        "pd-" + hashlib.sha256(repr(rows).encode()).hexdigest()[:16] + ".parquet"
+    )
+    path = os.path.join(data_dir, name)
+    pq.write_table(table, path)
+    return commit_position_delete_files(
+        table_dir, [path], timestamp_ms=timestamp_ms
+    )
+
+
+def commit_position_delete_files(
+    table_dir: str,
+    delete_files: list[str],
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """Commit ALREADY-WRITTEN position-delete parquet files (columns
+    ``file_path string, pos long``, sorted) under one delete manifest —
+    the distributed path: executors write the delete files
+    (``catalog.delete_where``), only the metadata commit runs here."""
+    return _commit(
+        table_dir,
+        list(delete_files),
+        CONTENT_POSITION_DELETES,
+        "delete",
+        timestamp_ms=timestamp_ms,
+    )
+
+
+def commit_equality_deletes(
+    table_dir: str,
+    rows: list[dict],
+    equality_cols: list[str],
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """Merge-on-read EQUALITY deletes (spec "Equality Delete Files"):
+    one parquet file holding the delete key tuples; ``equality_ids`` in
+    the manifest entry names the schema columns matched. Readers drop
+    matching rows from data files with data_seq < this commit's seq."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = current_metadata(table_dir)
+    schema = next(
+        s
+        for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in schema["fields"]}
+    missing = [c for c in equality_cols if c not in by_name]
+    if missing:
+        raise ValueError(f"equality columns not in schema: {missing}")
+    _PA = {
+        "string": pa.string(),
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+    }
+    cols = {
+        c: pa.array(
+            [r[c] for r in rows], _PA[by_name[c]["type"]]
+        )
+        for c in equality_cols
+    }
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    name = (
+        "ed-"
+        + hashlib.sha256(
+            repr(sorted(tuple(r[c] for c in equality_cols) for r in rows)).encode()
+        ).hexdigest()[:16]
+        + ".parquet"
+    )
+    path = os.path.join(data_dir, name)
+    pq.write_table(pa.table(cols), path)
+    return _commit(
+        table_dir, [path], CONTENT_EQUALITY_DELETES, "delete",
+        timestamp_ms=timestamp_ms,
+        equality_ids=[by_name[c]["id"] for c in equality_cols],
+    )
+
+
+def _hive_partition_of(rel_dir: str) -> dict:
+    """``lang=py/source=web`` -> {"lang": "py", "source": "web"} (values
+    URL-unescaped; Hive's default-partition marker -> None)."""
+    from urllib.parse import unquote
+
+    part = {}
+    for seg in rel_dir.split(os.sep):
+        if not seg or "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        v = unquote(v)
+        part[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return part
+
+
 def write_table(
     df,
     table_dir: str,
     timestamp_ms: int = 1_700_000_000_000,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Materialize a DataFrame as a new Iceberg append snapshot (creating
     the table if needed): write parquet into ``data/``, then commit the
-    new part files. Returns the snapshot id."""
-    existing = set()
-    data_dir = os.path.join(table_dir, "data")
-    if os.path.isdir(data_dir):
-        existing = set(glob.glob(os.path.join(data_dir, "*.parquet")))
-        staging = os.path.join(table_dir, "_staging")
-        df.write.mode("overwrite").parquet(staging)
-        import shutil
+    new part files. Returns the snapshot id.
 
-        new_files = []
-        for p in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
-            dst = os.path.join(
-                data_dir,
-                f"{hashlib.sha256(p.encode()).hexdigest()[:8]}-"
-                + os.path.basename(p),
-            )
-            shutil.move(p, dst)
-            new_files.append(dst)
-        shutil.rmtree(staging)
-    else:
-        df.write.mode("overwrite").parquet(data_dir)
-        new_files = sorted(
-            p
-            for p in glob.glob(os.path.join(data_dir, "*.parquet"))
-            if p not in existing
+    With ``partition_by``, data files are laid out hive-style
+    (``data/lang=py/...parquet``) and each manifest entry carries its
+    identity-transform partition tuple — so reads prune at the manifest
+    AND file level, and Spark's partition discovery (basePath =
+    ``data/``) reconstructs the partition columns. Appends to a
+    partitioned table inherit the table's spec (``partition_by`` is only
+    consulted on table creation)."""
+    import shutil
+
+    data_dir = os.path.join(table_dir, "data")
+    if is_iceberg_table(table_dir):
+        pfields = partition_fields(current_metadata(table_dir))
+        partition_by = [pf["name"] for pf in pfields]
+    staging = os.path.join(table_dir, "_staging")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    new_files = []
+    for p in sorted(
+        glob.glob(os.path.join(staging, "**", "*.parquet"), recursive=True)
+    ):
+        rel_dir = os.path.dirname(os.path.relpath(p, staging))
+        dst_dir = os.path.join(data_dir, rel_dir) if rel_dir else data_dir
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(
+            dst_dir,
+            f"{hashlib.sha256(p.encode()).hexdigest()[:8]}-"
+            + os.path.basename(p),
         )
+        shutil.move(p, dst)
+        if partition_by:
+            new_files.append((dst, _hive_partition_of(rel_dir)))
+        else:
+            new_files.append(dst)
+    shutil.rmtree(staging)
     return commit_append(
-        table_dir, new_files, spark_schema=df.schema, timestamp_ms=timestamp_ms
+        table_dir,
+        new_files,
+        spark_schema=df.schema,
+        timestamp_ms=timestamp_ms,
+        partition_by=partition_by,
     )
