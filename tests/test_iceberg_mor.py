@@ -219,3 +219,49 @@ def test_mor_read_plan_stays_broadcast(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_compact_table_and_expire_snapshots(spark, tmp_path):
+    """Copy-on-write compaction folds merge-on-read deletes into a
+    REPLACE snapshot (live view identical, delete files gone from the
+    scan), and snapshot expiry garbage-collects every file only expired
+    snapshots referenced."""
+    from tfidf_spark.sources.catalog import compact_table
+
+    tbl = str(tmp_path / "cow")
+    sid1 = iceberg_meta.write_table(_df(spark, 0, 40), tbl, partition_by=["lang"])
+    delete_where(spark, tbl, F.col("doc_id") % 4 == 0)
+    iceberg_meta.commit_equality_deletes(tbl, [{"lang": "l2"}], ["lang"])
+    before, _ = read_table(spark, tbl)
+    expected = sorted(r["doc_id"] for r in before.select("doc_id").collect())
+
+    sid_c = compact_table(spark, tbl)
+    ent = iceberg_meta.snapshot_entries(tbl)
+    assert not ent["pos_deletes"] and not ent["eq_deletes"]
+    # live view identical, now through the plain-files path too
+    files, rid = iceberg_meta.live_data_files(tbl)
+    assert rid == sid_c and files
+    after, _ = read_table(spark, tbl)
+    assert sorted(r["doc_id"] for r in after.select("doc_id").collect()) == expected
+    # pruning still works on the rewritten table
+    l1, _ = read_table(spark, tbl, partition_filter={"lang": "l1"})
+    assert l1.count() == after.filter(F.col("lang") == "l1").count()
+    # pre-compaction snapshot still time-travels
+    old, _ = read_table(spark, tbl, snapshot_id=sid1)
+    assert old.count() == 40
+
+    import glob as g
+    import os
+
+    n_before = len(g.glob(os.path.join(tbl, "data", "**", "*.parquet"), recursive=True))
+    stats = iceberg_meta.expire_snapshots(tbl, keep_last=1)
+    assert stats["removed_files"] > 0 and stats["kept"] == [sid_c]
+    n_after = len(g.glob(os.path.join(tbl, "data", "**", "*.parquet"), recursive=True))
+    assert n_after < n_before
+    # no delete parquet survives GC
+    assert not g.glob(os.path.join(tbl, "data", "**", "pd-*.parquet"), recursive=True)
+    # live read unchanged; expired snapshot now unresolvable
+    final, _ = read_table(spark, tbl)
+    assert sorted(r["doc_id"] for r in final.select("doc_id").collect()) == expected
+    with pytest.raises(ValueError, match="not found"):
+        read_table(spark, tbl, snapshot_id=sid1)

@@ -326,6 +326,84 @@ def stage_postings(
     ).write.partitionBy("sec").mode("overwrite").parquet(f"{out_dir}/postings")
 
 
+def stage_encode(
+    raw: DataFrame,
+    out_dir: str,
+    avgdl: float,
+    n_shards: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    combine_shuffle: bool = False,
+) -> None:
+    """Stage 3: staged postings (``stage_postings`` output) -> compressed
+    per-(term, shard) runs at ``out_dir/term_postings``. Public so the
+    stage-scaling harness (tools/stage_scaling.py) times EXACTLY the
+    build's encode plan in isolation.
+
+    Hash-shuffle rows by (term, shard), Tungsten-sort each partition
+    by (term, shard, doc_id), and stream the sorted rows through the
+    Arrow encode kernel. The sort also leaves the written index
+    ordered by term within each file -> tight parquet min/max stats
+    for term pruning, with NO extra shuffle. (A repartitionByRange
+    would re-run the pipeline just to sample boundaries; a
+    collect_list aggregation was measured ~7x the cost of the entire
+    Python encode.)
+    Leading int64 hash key lets Tungsten radix-sort instead of
+    string-comparing terms (measured ~14% faster encode at 8 cores,
+    identical output); `term` stays in the order so hash collisions
+    still sort adjacent-but-separated and the kernel's boundary
+    detection on (term, shard) is unaffected. tkey is projected
+    AFTER the repartition so those 8 bytes/row never cross the
+    shuffle — it is recomputed reduce-side from `term`."""
+    spark = raw.sparkSession
+    postings = raw.filter(F.col("sec") == 0).withColumn(
+        "w", bm25_weight_expr("cnt", "dl", avgdl if avgdl > 0 else 1.0, k1, b)
+    )
+    sharded = postings.withColumn(
+        "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
+    )
+    sorted_runs = (
+        sharded.select("term", "shard", "doc_id", "w")
+        .repartition("term", "shard")
+        .withColumn("tkey", F.xxhash64("term"))
+        .sortWithinPartitions("tkey", "term", "shard", "doc_id")
+        .drop("tkey")
+    )
+    # optional combiner path (cluster knob, see _pack_partials_stream
+    # docstring): pack per-(term, shard) binary partials BEFORE the
+    # shuffle, then merge-encode reduce-side; byte-identical output,
+    # ~2-3x fewer shuffle bytes, measurably neutral on local tmpfs.
+    packed_runs = (
+        sharded.select("term", "shard", "doc_id", "w")
+        .mapInPandas(
+            _pack_partials_stream,
+            "term string, shard int, n long, ids_b binary, ws_b binary",
+        )
+        .repartition("term", "shard")
+        .withColumn("tkey", F.xxhash64("term"))
+        .sortWithinPartitions("tkey", "term", "shard")
+        .drop("tkey", "n")
+    )
+    # big Arrow batches ONLY for this stage: posting rows are ~30B,
+    # so 100k rows/batch is a few MB and amortizes the kernel's
+    # per-batch overhead; the session default stays 10k because the
+    # same knob sizes text-carrying UDF batches (session.py)
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf_key, "10000")
+    spark.conf.set(conf_key, "100000")
+    try:
+        if combine_shuffle:
+            packed_runs.mapInPandas(
+                _merge_encode_stream, INDEX_SCHEMA
+            ).write.mode("overwrite").parquet(f"{out_dir}/term_postings")
+        else:
+            sorted_runs.mapInPandas(
+                _encode_sorted_stream, INDEX_SCHEMA
+            ).write.mode("overwrite").parquet(f"{out_dir}/term_postings")
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def build_index(
     docs: DataFrame,
     out_dir: str,
@@ -416,67 +494,10 @@ def build_index(
         avgdl = avgdl_override
 
     def _encode():
-        postings = raw.filter(F.col("sec") == 0).withColumn(
-            "w", bm25_weight_expr("cnt", "dl", avgdl if avgdl > 0 else 1.0, k1, b)
+        stage_encode(
+            raw, out_dir, avgdl, n_shards, k1=k1, b=b,
+            combine_shuffle=combine_shuffle,
         )
-        sharded = postings.withColumn(
-            "shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
-        )
-        # Hash-shuffle rows by (term, shard), Tungsten-sort each partition
-        # by (term, shard, doc_id), and stream the sorted rows through the
-        # Arrow encode kernel. The sort also leaves the written index
-        # ordered by term within each file -> tight parquet min/max stats
-        # for term pruning, with NO extra shuffle. (A repartitionByRange
-        # would re-run the pipeline just to sample boundaries; a
-        # collect_list aggregation was measured ~7x the cost of the entire
-        # Python encode.)
-        # Leading int64 hash key lets Tungsten radix-sort instead of
-        # string-comparing terms (measured ~14% faster encode at 8 cores,
-        # identical output); `term` stays in the order so hash collisions
-        # still sort adjacent-but-separated and the kernel's boundary
-        # detection on (term, shard) is unaffected. tkey is projected
-        # AFTER the repartition so those 8 bytes/row never cross the
-        # shuffle — it is recomputed reduce-side from `term`.
-        sorted_runs = (
-            sharded.select("term", "shard", "doc_id", "w")
-            .repartition("term", "shard")
-            .withColumn("tkey", F.xxhash64("term"))
-            .sortWithinPartitions("tkey", "term", "shard", "doc_id")
-            .drop("tkey")
-        )
-        # optional combiner path (cluster knob, see _pack_partials_stream
-        # docstring): pack per-(term, shard) binary partials BEFORE the
-        # shuffle, then merge-encode reduce-side; byte-identical output,
-        # ~2-3x fewer shuffle bytes, measurably neutral on local tmpfs.
-        packed_runs = (
-            sharded.select("term", "shard", "doc_id", "w")
-            .mapInPandas(
-                _pack_partials_stream,
-                "term string, shard int, n long, ids_b binary, ws_b binary",
-            )
-            .repartition("term", "shard")
-            .withColumn("tkey", F.xxhash64("term"))
-            .sortWithinPartitions("tkey", "term", "shard")
-            .drop("tkey", "n")
-        )
-        # big Arrow batches ONLY for this stage: posting rows are ~30B,
-        # so 100k rows/batch is a few MB and amortizes the kernel's
-        # per-batch overhead; the session default stays 10k because the
-        # same knob sizes text-carrying UDF batches (session.py)
-        conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-        prev = spark.conf.get(conf_key, "10000")
-        spark.conf.set(conf_key, "100000")
-        try:
-            if combine_shuffle:
-                packed_runs.mapInPandas(
-                    _merge_encode_stream, INDEX_SCHEMA
-                ).write.mode("overwrite").parquet(f"{out_dir}/term_postings")
-            else:
-                sorted_runs.mapInPandas(
-                    _encode_sorted_stream, INDEX_SCHEMA
-                ).write.mode("overwrite").parquet(f"{out_dir}/term_postings")
-        finally:
-            spark.conf.set(conf_key, prev)
 
     ckpt.run("encode", _encode)
     tp = spark.read.parquet(f"{out_dir}/term_postings")

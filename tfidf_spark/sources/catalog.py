@@ -200,6 +200,25 @@ def delete_where(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    table_dir: str,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """Copy-on-write compaction: materialize the CURRENT live view (all
+    merge-on-read deletes applied) as a REPLACE snapshot, after which the
+    live read path carries no delete files at all (``live_data_files``
+    works again; per-row anti-joins disappear from the scan plan). Old
+    snapshots stay time-travelable until ``expire_snapshots`` reclaims
+    their files. Run it when the delete-file count or deleted-row
+    fraction justifies the rewrite — the table-level twin of the index's
+    ``full_compact`` vs ``patch_deletes`` tradeoff."""
+    from tfidf_spark.sources import iceberg_meta
+
+    df, _ = read_table(spark, table_dir)
+    return iceberg_meta.rewrite_table(df, table_dir, timestamp_ms=timestamp_ms)
+
+
 def load_corpus(
     spark: SparkSession,
     source: str,

@@ -664,12 +664,13 @@ def _commit(
     timestamp_ms: int = 1_700_000_000_000,
     partition_by: list[str] | None = None,
     equality_ids: list[int] | None = None,
+    carry_prior: bool = True,
 ) -> int:
     """Shared commit core: write one manifest for ``files`` (data or
     delete content), carry prior manifests BY REFERENCE in a new manifest
-    list, append the snapshot to a new metadata.json, bump version-hint.
-    Deterministic: ids derive from file lists, the timestamp is a
-    parameter."""
+    list (unless ``carry_prior=False`` — a REPLACE commit), append the
+    snapshot to a new metadata.json, bump version-hint. Deterministic:
+    ids derive from file lists, the timestamp is a parameter."""
     md = _meta_dir(table_dir)
     os.makedirs(md, exist_ok=True)
     if is_iceberg_table(table_dir):
@@ -750,7 +751,7 @@ def _commit(
         equality_ids=equality_ids,
     )
     carried = []
-    if parent is not None:
+    if parent is not None and carry_prior:
         prev = resolve_snapshot(meta, parent)
         _, carried = read_container(_strip_file_uri(prev["manifest-list"]))
     manifests = carried + [manifest]
@@ -964,29 +965,13 @@ def _hive_partition_of(rel_dir: str) -> dict:
     return part
 
 
-def write_table(
-    df,
-    table_dir: str,
-    timestamp_ms: int = 1_700_000_000_000,
-    partition_by: list[str] | None = None,
-) -> int:
-    """Materialize a DataFrame as a new Iceberg append snapshot (creating
-    the table if needed): write parquet into ``data/``, then commit the
-    new part files. Returns the snapshot id.
-
-    With ``partition_by``, data files are laid out hive-style
-    (``data/lang=py/...parquet``) and each manifest entry carries its
-    identity-transform partition tuple — so reads prune at the manifest
-    AND file level, and Spark's partition discovery (basePath =
-    ``data/``) reconstructs the partition columns. Appends to a
-    partitioned table inherit the table's spec (``partition_by`` is only
-    consulted on table creation)."""
+def _materialize(df, table_dir: str, partition_by: list[str] | None) -> list:
+    """Write ``df``'s parquet into ``data/`` (hive layout when
+    partitioned) via a staging dir -> list of new files, as paths or
+    ``(path, partition_dict)`` pairs."""
     import shutil
 
     data_dir = os.path.join(table_dir, "data")
-    if is_iceberg_table(table_dir):
-        pfields = partition_fields(current_metadata(table_dir))
-        partition_by = [pf["name"] for pf in pfields]
     staging = os.path.join(table_dir, "_staging")
     writer = df.write.mode("overwrite")
     if partition_by:
@@ -1011,6 +996,30 @@ def write_table(
         else:
             new_files.append(dst)
     shutil.rmtree(staging)
+    return new_files
+
+
+def write_table(
+    df,
+    table_dir: str,
+    timestamp_ms: int = 1_700_000_000_000,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Materialize a DataFrame as a new Iceberg append snapshot (creating
+    the table if needed): write parquet into ``data/``, then commit the
+    new part files. Returns the snapshot id.
+
+    With ``partition_by``, data files are laid out hive-style
+    (``data/lang=py/...parquet``) and each manifest entry carries its
+    identity-transform partition tuple — so reads prune at the manifest
+    AND file level, and Spark's partition discovery (basePath =
+    ``data/``) reconstructs the partition columns. Appends to a
+    partitioned table inherit the table's spec (``partition_by`` is only
+    consulted on table creation)."""
+    if is_iceberg_table(table_dir):
+        pfields = partition_fields(current_metadata(table_dir))
+        partition_by = [pf["name"] for pf in pfields]
+    new_files = _materialize(df, table_dir, partition_by)
     return commit_append(
         table_dir,
         new_files,
@@ -1018,3 +1027,99 @@ def write_table(
         timestamp_ms=timestamp_ms,
         partition_by=partition_by,
     )
+
+
+def rewrite_table(
+    df,
+    table_dir: str,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """REPLACE commit (copy-on-write compaction): materialize ``df`` as
+    the table's entire new live contents — the new manifest list carries
+    NO prior manifests, so all previous data AND delete files drop out of
+    the live view (old snapshots still resolve for time travel until
+    ``expire_snapshots``). The table-level analog of the index layer's
+    ``full_compact``."""
+    if not is_iceberg_table(table_dir):
+        raise ValueError(f"{table_dir} is not an Iceberg table")
+    pfields = partition_fields(current_metadata(table_dir))
+    new_files = _materialize(df, table_dir, [pf["name"] for pf in pfields])
+    return _commit(
+        table_dir,
+        new_files,
+        CONTENT_DATA,
+        "replace",
+        timestamp_ms=timestamp_ms,
+        carry_prior=False,
+    )
+
+
+def expire_snapshots(
+    table_dir: str,
+    keep_last: int = 1,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> dict:
+    """Expire all but the last ``keep_last`` snapshots and GARBAGE-COLLECT
+    every file no kept snapshot references (manifest lists, manifests,
+    data and delete parquet) — the spec's snapshot-expiry maintenance,
+    the step that actually reclaims space after ``rewrite_table``. Writes
+    a new metadata.json version; returns ``{"kept": [...ids],
+    "removed_files": n, "removed_bytes": b}``."""
+    meta = current_metadata(table_dir)
+    snaps = meta.get("snapshots", [])
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    kept = snaps[-keep_last:]
+    kept_ids = {s["snapshot-id"] for s in kept}
+    if meta.get("current-snapshot-id") not in kept_ids:
+        raise ValueError("current snapshot must be kept")
+
+    referenced: set[str] = set()
+    for s in kept:
+        mlist = _strip_file_uri(s["manifest-list"])
+        referenced.add(os.path.abspath(mlist))
+        _, manifests = read_container(mlist)
+        for mf in manifests:
+            mpath = _strip_file_uri(mf["manifest_path"])
+            referenced.add(os.path.abspath(mpath))
+            _, entries = read_container(mpath)
+            for e in entries:
+                referenced.add(
+                    os.path.abspath(_strip_file_uri(e["data_file"]["file_path"]))
+                )
+
+    removed = bytes_removed = 0
+    md = _meta_dir(table_dir)
+    candidates = glob.glob(os.path.join(md, "snap-*.avro")) + glob.glob(
+        os.path.join(md, "m-*.avro")
+    ) + glob.glob(
+        os.path.join(table_dir, "data", "**", "*.parquet"), recursive=True
+    )
+    for p in candidates:
+        if os.path.abspath(p) not in referenced:
+            bytes_removed += os.path.getsize(p)
+            os.remove(p)
+            removed += 1
+
+    version = (
+        max(
+            int(os.path.basename(p).split(".")[0][1:])
+            for p in glob.glob(os.path.join(md, "v*.metadata.json"))
+        )
+        + 1
+    )
+    meta = dict(meta)
+    meta["snapshots"] = kept
+    meta["snapshot-log"] = [
+        e for e in meta.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+    ]
+    meta["last-updated-ms"] = timestamp_ms
+    with open(os.path.join(md, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return {
+        "kept": sorted(kept_ids),
+        "removed_files": removed,
+        "removed_bytes": bytes_removed,
+    }

@@ -286,21 +286,33 @@ def orchestrate() -> None:
         for i, w in enumerate(windows)
     )
     os.makedirs("BENCH", exist_ok=True)
-    # preserve the marker-delimited per-query-medians section that
-    # tools/query_medians.py maintains in this file
+    # preserve the marker-delimited sections other tools maintain in this
+    # file: per-query medians (tools/query_medians.py) and the PRIMARY
+    # per-stage scaling evidence (tools/stage_scaling.py)
     medians_block = ""
     try:
         with open("BENCH/BASELINE.md") as f:
             prev = f.read()
-        begin, end = "<!-- QUERY_MEDIANS -->", "<!-- /QUERY_MEDIANS -->"
-        if begin in prev and end in prev:
-            medians_block = (
-                "\n" + prev[prev.index(begin): prev.index(end) + len(end)] + "\n"
-            )
+        for begin, end in (
+            ("<!-- STAGE_SCALING -->", "<!-- /STAGE_SCALING -->"),
+            ("<!-- QUERY_MEDIANS -->", "<!-- /QUERY_MEDIANS -->"),
+        ):
+            if begin in prev and end in prev:
+                medians_block += (
+                    "\n" + prev[prev.index(begin): prev.index(end) + len(end)] + "\n"
+                )
     except OSError:
         pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (N -> 4N cores)
+
+Evidence structure since round 5 (per VERDICT r4's adjudication that the
+end-to-end number rides this host's noise floor): the PRIMARY evidence
+is the per-stage pinned adjacent-ratio microbenchmark (STAGE_SCALING
+section below, tools/stage_scaling.py — seconds-scale samples, many
+rounds, tight medians); the end-to-end ratio in THIS section is the
+SPOT CHECK that the composed pipeline does not lose efficiency between
+stages.
 
 Protocol (BASELINE.md): same index-build + 50-query job, same
 pre-materialized parquet corpus, identical confs apart from master and
