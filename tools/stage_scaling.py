@@ -177,8 +177,20 @@ def orchestrate() -> None:
     samples: dict[str, dict[int, list[float]]] = {
         s: {c: [] for c in LEVELS} for s in STAGES
     }
+    ceilings: list[float] = []
+    from tools.scaling_bench import calibrate_paired
+
     try:
         for rnd in range(ROUNDS):
+            # pure-CPU frequency/steal ceiling for THIS round's weather
+            # (same pinned-spinner instrument as tools/scaling_bench.py):
+            # the hardware bound no job can beat — a tokenize eff of 0.66
+            # under a 0.70 ceiling is the host, not the engine
+            ceilings.append(
+                calibrate_paired("0-1", LEVELS[0], "8-15", LEVELS[1])
+            )
+            print(f"round {rnd} pure-CPU ceiling: {ceilings[-1]:.3f}",
+                  flush=True)
             for stage in STAGES:
                 order = LEVELS if rnd % 2 == 0 else tuple(reversed(LEVELS))
                 wall: dict[int, float] = {}
@@ -203,8 +215,8 @@ def orchestrate() -> None:
     # of the full-build wall; micro-stages (doc_stats/term_stats + stage
     # commits) are the residual, assigned the WORST measured stage
     # efficiency so the composite is a lower bound, not a cherry-pick
-    tok_w = walls.get("postings_sec", 0.0)
-    enc_w = walls.get("encode_sec", 0.0)
+    tok_w = walls.get("stage_postings_sec", 0.0)
+    enc_w = walls.get("stage_encode_sec", 0.0)
     total_w = sum(walls.values())
     resid_w = max(0.0, total_w - tok_w - enc_w)
     worst = min(med["tokenize"], med["encode"])
@@ -212,25 +224,43 @@ def orchestrate() -> None:
         (tok_w * med["tokenize"] + enc_w * med["encode"] + resid_w * worst)
         / (tok_w + enc_w + resid_w)
     )
-    payload = {
+    med_ceiling = statistics.median(ceilings) if ceilings else None
+    run = {
         "n_docs": N_DOCS,
         "rounds": ROUNDS,
         "levels": LEVELS,
         "per_stage_ratios": results,
         "per_stage_walls": {s: samples[s] for s in STAGES},
         "median_eff": med,
+        "ceilings": ceilings,
+        "median_ceiling": med_ceiling,
         "build_stage_walls_32c": walls,
         "weights": {"tokenize": tok_w, "encode": enc_w, "residual": resid_w},
         "composite_build_eff": round(composite, 4),
     }
     os.makedirs("BENCH", exist_ok=True)
+    # full run HISTORY, never overwritten (VERDICT r4: disclose every
+    # attempt; host weather moves the median run to run)
+    try:
+        with open("BENCH/STAGE_SCALING.json") as f:
+            doc = json.load(f)
+        runs = doc["runs"] if isinstance(doc, dict) and "runs" in doc else [doc]
+    except (OSError, json.JSONDecodeError):
+        runs = []
+    runs.append(run)
     with open("BENCH/STAGE_SCALING.json", "w") as f:
-        json.dump(payload, f, indent=2)
+        json.dump({"runs": runs}, f, indent=2)
 
     rows = "\n".join(
         f"| {s} | {', '.join('%.3f' % x for x in sorted(results[s]))} "
         f"| **{med[s]:.3f}** |"
         for s in STAGES
+    )
+    hist_rows = "\n".join(
+        f"| {i} | {r.get('median_ceiling') if r.get('median_ceiling') is None else '%.3f' % r['median_ceiling']} "
+        f"| {r['median_eff']['tokenize']:.3f} | {r['median_eff']['encode']:.3f} "
+        f"| **{r['composite_build_eff']:.3f}** |"
+        for i, r in enumerate(runs)
     )
     block = f"""<!-- STAGE_SCALING -->
 ## PRIMARY evidence: per-stage pinned adjacent ratios (r5 protocol)
@@ -241,11 +271,20 @@ at taskset-pinned 2 and 8 cores, back-to-back inside the same minute of
 host weather, {ROUNDS} rounds with alternating order; {N_DOCS:,}-doc
 corpus, shared stage inputs pre-materialized at 32 cores. Seconds-scale
 samples make many rounds affordable, which is what the end-to-end
-number could no longer deliver on this host (VERDICT r4).
+number could no longer deliver on this host (VERDICT r4). Every round
+also measures the box's pure-CPU 2->8 scaling ceiling with pinned
+spinners — the hardware bound no job can beat that round.
+
+Latest run — per-round pure-CPU ceilings: {', '.join('%.3f' % c for c in ceilings) or 'n/a'}
+(median {med_ceiling if med_ceiling is None else '%.3f' % med_ceiling}).
 
 | stage | round efficiencies (sorted) | median |
 |---|---|---|
 {rows}
+
+(query is a LATENCY-bound fixed-depth plan over a built index — its
+ratio is dominated by constant per-job costs and is reported for
+completeness, not part of the build-throughput criterion.)
 
 **Composite build efficiency (stage medians weighted by their share of
 the full-build wall, residual micro-stages pinned to the WORST measured
@@ -254,6 +293,13 @@ stage efficiency as a lower bound): {composite:.3f}**
 
 Stage shares of a full 32-core build wall: tokenize {tok_w:.1f}s,
 encode {enc_w:.1f}s, residual {resid_w:.1f}s (of {total_w:.1f}s total).
+
+### Run history (all attempts, never pruned)
+
+| run | median ceiling | tokenize | encode | composite |
+|---|---|---|---|---|
+{hist_rows}
+
 Raw samples: BENCH/STAGE_SCALING.json.
 <!-- /STAGE_SCALING -->"""
 

@@ -45,6 +45,14 @@ def main() -> None:
         "to load_corpus's source fingerprint (table@snapshot or path)",
     )
     b.add_argument("--resume", action="store_true")
+    b.add_argument(
+        "--partition-filter",
+        default=None,
+        metavar="COL=V1[,V2...][;COL2=...]",
+        help="Iceberg identity-partition scope (collection scoping): "
+        "prunes manifests and files before the scan, e.g. "
+        "'lang=py,go;repo=torvalds/linux'",
+    )
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index", required=True)
@@ -74,8 +82,15 @@ def main() -> None:
         snapshot_id = int(args.snapshot) if (
             args.snapshot is not None and str(args.snapshot).isdigit()
         ) else None
+        pfilter = None
+        if args.partition_filter:
+            pfilter = {
+                kv.split("=", 1)[0]: kv.split("=", 1)[1].split(",")
+                for kv in args.partition_filter.split(";")
+            }
         docs, fingerprint = load_corpus(
-            spark, args.corpus, fmt=args.format, snapshot_id=snapshot_id
+            spark, args.corpus, fmt=args.format, snapshot_id=snapshot_id,
+            partition_filter=pfilter,
         )
         id_col = args.id_col
         if id_col is None:
