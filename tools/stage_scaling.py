@@ -141,6 +141,42 @@ def _run_child(stage: str, cpus: int, dirs: tuple[str, str, str], avgdl: float) 
     return json.loads(lines[-1][len("CHILD_RESULT "):])["wall_sec"]
 
 
+_BW_CODE = (
+    "import numpy as np, time\n"
+    "a = np.zeros(64_000_000, dtype=np.uint8)\n"
+    "b = np.ones(64_000_000, dtype=np.uint8)\n"
+    "for _ in range(3): a[:] = b\n"            # touch pages / warm
+    "t0 = time.perf_counter()\n"
+    "for _ in range(30): a[:] = b\n"
+    "print(time.perf_counter() - t0)\n"
+)
+
+
+def calibrate_bandwidth(cores_a: str, n_a: int, cores_b: str, n_b: int) -> float:
+    """Memory-bandwidth 2->8 ceiling: paired CONCURRENT streaming numpy
+    copies on disjoint pinned core sets (same estimator shape as the ALU
+    calibrate_paired). The run-B r5 collapse (every Spark stage dropped
+    ~30% while ALU ceilings read 0.95) is exactly what this instrument
+    exists to attribute: hypervisor neighbors steal BUS bandwidth without
+    touching ALU throughput, and tokenize/encode are bandwidth-heavy."""
+    import subprocess as _sp
+    import sys as _sys
+
+    def start(cores):
+        return _sp.Popen(
+            ["taskset", "-c", cores, _sys.executable, "-c", _BW_CODE],
+            stdout=_sp.PIPE, text=True,
+        )
+
+    procs_a = [start(cores_a) for _ in range(n_a)]
+    procs_b = [start(cores_b) for _ in range(n_b)]
+    walls_b = [float(p.communicate()[0]) for p in procs_b]
+    walls_a = [float(p.communicate()[0]) for p in procs_a]
+    thr_a = n_a / max(walls_a)
+    thr_b = n_b / max(walls_b)
+    return thr_b / (4 * thr_a)
+
+
 def orchestrate() -> None:
     from tfidf_spark.index.builder import build_index
     from tfidf_spark.session import get_spark
@@ -178,6 +214,7 @@ def orchestrate() -> None:
         s: {c: [] for c in LEVELS} for s in STAGES
     }
     ceilings: list[float] = []
+    bw_ceilings: list[float] = []
     from tools.scaling_bench import calibrate_paired
 
     try:
@@ -189,8 +226,11 @@ def orchestrate() -> None:
             ceilings.append(
                 calibrate_paired("0-1", LEVELS[0], "8-15", LEVELS[1])
             )
-            print(f"round {rnd} pure-CPU ceiling: {ceilings[-1]:.3f}",
-                  flush=True)
+            bw_ceilings.append(
+                calibrate_bandwidth("0-1", LEVELS[0], "8-15", LEVELS[1])
+            )
+            print(f"round {rnd} pure-CPU ceiling: {ceilings[-1]:.3f}, "
+                  f"bandwidth ceiling: {bw_ceilings[-1]:.3f}", flush=True)
             for stage in STAGES:
                 order = LEVELS if rnd % 2 == 0 else tuple(reversed(LEVELS))
                 wall: dict[int, float] = {}
@@ -234,6 +274,10 @@ def orchestrate() -> None:
         "median_eff": med,
         "ceilings": ceilings,
         "median_ceiling": med_ceiling,
+        "bw_ceilings": bw_ceilings,
+        "median_bw_ceiling": (
+            statistics.median(bw_ceilings) if bw_ceilings else None
+        ),
         "build_stage_walls_32c": walls,
         "weights": {"tokenize": tok_w, "encode": enc_w, "residual": resid_w},
         "composite_build_eff": round(composite, 4),
@@ -276,7 +320,11 @@ also measures the box's pure-CPU 2->8 scaling ceiling with pinned
 spinners — the hardware bound no job can beat that round.
 
 Latest run — per-round pure-CPU ceilings: {', '.join('%.3f' % c for c in ceilings) or 'n/a'}
-(median {med_ceiling if med_ceiling is None else '%.3f' % med_ceiling}).
+(median {med_ceiling if med_ceiling is None else '%.3f' % med_ceiling});
+memory-BANDWIDTH ceilings (streaming 64 MB numpy copies, the bound that
+actually moves when a noisy neighbor steals the memory bus — Spark
+stages are bandwidth-heavy and track THIS one, not the ALU number):
+{', '.join('%.3f' % c for c in bw_ceilings) or 'n/a'}.
 
 | stage | round efficiencies (sorted) | median |
 |---|---|---|
