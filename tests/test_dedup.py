@@ -218,3 +218,23 @@ def test_auto_escalates_to_star(spark):
     got = connected_components(edges, max_iter=8, algorithm="auto")
     assert got.filter("component_id != 0").count() == 0
     assert got.count() == n
+
+
+def test_star_round_budget_is_forwarded(spark):
+    """ADVICE r4: the star/auto paths must honor the caller's round
+    budget instead of silently using the star default — a path graph
+    needs ~2*log2(n) star rounds, so star_max_iter=1 must raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from tfidf_spark.operators.dedup import connected_components
+
+    n = 64
+    edges = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    )
+    with _pytest.raises(RuntimeError):
+        connected_components(edges, algorithm="star", star_max_iter=1)
+    got = connected_components(edges, algorithm="star", star_max_iter=32)
+    assert got.select("component_id").distinct().count() == 1

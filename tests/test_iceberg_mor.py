@@ -265,3 +265,33 @@ def test_compact_table_and_expire_snapshots(spark, tmp_path):
     assert sorted(r["doc_id"] for r in final.select("doc_id").collect()) == expected
     with pytest.raises(ValueError, match="not found"):
         read_table(spark, tbl, snapshot_id=sid1)
+
+
+def test_cli_build_with_partition_filter(spark, tmp_path, capsys):
+    """spark-submit surface: --partition-filter scopes the build to the
+    requested identity partitions (the reference's collection scoping
+    through the north-rule CLI), and the scope is part of the resume
+    fingerprint."""
+    import json as _json
+    import sys as _sys
+
+    from tools.submit_build import main as cli_main
+
+    tbl = str(tmp_path / "cli_tbl")
+    iceberg_meta.write_table(_df(spark, 0, 60), tbl, partition_by=["lang"])
+    out_dir = str(tmp_path / "cli_idx")
+    argv = [
+        "submit_build", "build",
+        "--corpus", tbl, "--format", "iceberg",
+        "--out", out_dir, "--n-shards", "2",
+        "--partition-filter", "lang=l0,l2",
+    ]
+    old = _sys.argv
+    _sys.argv = argv
+    try:
+        cli_main()
+    finally:
+        _sys.argv = old
+    m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["n_docs"] == 40  # l0 + l2 only
+    assert "lang" in m["source_fingerprint"]
