@@ -295,3 +295,61 @@ def test_cli_build_with_partition_filter(spark, tmp_path, capsys):
     m = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["n_docs"] == 40  # l0 + l2 only
     assert "lang" in m["source_fingerprint"]
+
+
+def test_incremental_changes_feed_index_maintenance(spark, tmp_path):
+    """North-rule loop closed at the METADATA level: pin -> build ->
+    table appends + merge-on-read deletes -> incremental_changes reads
+    only the delta files and the position-delete row images (never the
+    old snapshot) -> compact_index merges the appends, delete_docs
+    tombstones the deletes. No full rebuild, no O(table) diff scan."""
+    from tfidf_spark.index.builder import build_index, load_index
+    from tfidf_spark.index.query import bm25_query_terms
+    from tfidf_spark.index.incremental import compact_index, delete_docs
+    from tfidf_spark.sources.catalog import incremental_changes
+
+    tbl = str(tmp_path / "cdc")
+    s1 = iceberg_meta.write_table(_df(spark, 0, 60), tbl, partition_by=["lang"])
+    base, fp1 = load_corpus(spark, tbl, fmt="iceberg", snapshot_id=s1)
+    idx0 = str(tmp_path / "cdc_i0")
+    build_index(base, idx0, n_shards=4, source_snapshot=fp1)
+
+    iceberg_meta.write_table(_df(spark, 100, 120), tbl)         # append
+    s3 = delete_where(spark, tbl, F.col("doc_id").isin(3, 7, 11))  # MoR delete
+
+    appended, deleted, resolved = incremental_changes(spark, tbl, s1)
+    assert resolved == s3
+    app_ids = {r["doc_id"] for r in appended.select("doc_id").collect()}
+    assert app_ids == set(range(100, 120))
+    del_ids = {r["doc_id"] for r in deleted.select("doc_id").collect()}
+    assert del_ids == {3, 7, 11}
+
+    idx1 = str(tmp_path / "cdc_i1")
+    compact_index(load_index(spark, idx0), appended, idx1, force=True)
+    merged = load_index(spark, idx1)
+    delete_docs(merged, sorted(del_ids))
+
+    merged = load_index(spark, idx1)
+    hits = {
+        r["doc_id"]
+        for r in bm25_query_terms(merged, ["def", "fn_3", "return"], k=200).collect()
+    }
+    assert not (hits & del_ids)
+    assert app_ids & hits  # appended docs are searchable
+    assert merged.n_docs == 60 + 20  # tombstones applied at compaction time
+
+    # a delete committed between snapshots that also hits rows APPENDED
+    # in the same window nets out of BOTH change sets
+    s4 = iceberg_meta.current_metadata(tbl)["current-snapshot-id"]
+    iceberg_meta.write_table(_df(spark, 200, 210), tbl)
+    delete_where(spark, tbl, F.col("doc_id").isin(205, 5))
+    appended2, deleted2, _ = incremental_changes(spark, tbl, s4)
+    a2 = {r["doc_id"] for r in appended2.select("doc_id").collect()}
+    d2 = {r["doc_id"] for r in deleted2.select("doc_id").collect()}
+    assert a2 == set(range(200, 210)) - {205}
+    assert d2 == {5}
+
+    # equality deletes in the window surface loudly
+    iceberg_meta.commit_equality_deletes(tbl, [{"lang": "l0"}], ["lang"])
+    with pytest.raises(NotImplementedError, match="equality"):
+        incremental_changes(spark, tbl, s4)

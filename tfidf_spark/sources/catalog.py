@@ -200,6 +200,113 @@ def delete_where(
     )
 
 
+def incremental_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot_id: int,
+    to_snapshot_id: int | None = None,
+) -> tuple[DataFrame, DataFrame | None, int]:
+    """Metadata-driven CDC between two snapshots of a pure-Python-format
+    Iceberg table -> ``(appended_df, deleted_df_or_None, resolved_to_id)``.
+
+    - **appended**: rows of data files present at ``to`` but not at
+      ``from`` — a FILE-LEVEL diff from the manifests, so the old
+      snapshot is never scanned (the r4 lifecycle anti-joined the two
+      live views, an O(table) job; this is O(delta)). Merge-on-read
+      deletes already committed against those new files are applied.
+    - **deleted**: rows POSITION-deleted between the snapshots, read by
+      joining the new delete files' ``(file_path, pos)`` against only
+      the data files they name — O(affected files), not O(table).
+      Equality deletes committed in the window raise: extracting their
+      row images requires scanning every older live file, which the
+      caller should do explicitly if it accepts the cost.
+
+    This is the table-side feed for index maintenance: appended rows ->
+    ``incremental.compact_index`` (O(delta) segment merge), deleted rows
+    -> ``incremental.delete_docs`` tombstones. Together with snapshot-id
+    resume fingerprints this closes the north-rule loop: pin -> build ->
+    table changes -> incremental index update, no full rebuild."""
+    from tfidf_spark.sources import iceberg_meta
+
+    ent_from = iceberg_meta.snapshot_entries(
+        table_dir, snapshot_id=from_snapshot_id
+    )
+    ent_to = iceberg_meta.snapshot_entries(table_dir, snapshot_id=to_snapshot_id)
+    data_dir = os.path.join(os.path.abspath(table_dir), "data")
+
+    old_files = {d["path"] for d in ent_from["data"]}
+    new_entries = [d for d in ent_to["data"] if d["path"] not in old_files]
+    old_pos = {p["path"] for p in ent_from["pos_deletes"]}
+    old_eq = {e["path"] for e in ent_from["eq_deletes"]}
+    new_pos = [p for p in ent_to["pos_deletes"] if p["path"] not in old_pos]
+    new_eq = [e for e in ent_to["eq_deletes"] if e["path"] not in old_eq]
+    if new_eq:
+        raise NotImplementedError(
+            "equality deletes were committed between the snapshots; their "
+            "row images require scanning all older live files — read the "
+            "two snapshots explicitly if that cost is intended"
+        )
+
+    if new_entries:
+        appended = (
+            spark.read.option("basePath", data_dir)
+            .parquet(*[d["path"] for d in new_entries])
+        )
+        if new_pos:
+            appended = appended.withColumns(
+                {
+                    _FILE_COL: F.col("_metadata.file_path"),
+                    _POS_COL: F.col("_metadata.row_index"),
+                }
+            )
+            dels = reduce(
+                DataFrame.unionByName,
+                [spark.read.parquet(p["path"]) for p in new_pos],
+            ).select(
+                F.concat(F.lit("file:"), F.col("file_path")).alias(_FILE_COL),
+                F.col("pos").alias(_POS_COL),
+            )
+            appended = appended.join(
+                F.broadcast(dels), [_FILE_COL, _POS_COL], "left_anti"
+            ).drop(_FILE_COL, _POS_COL)
+    else:
+        df_any, _ = read_table(spark, table_dir, snapshot_id=to_snapshot_id)
+        appended = df_any.limit(0)
+
+    deleted = None
+    if new_pos:
+        dels = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(p["path"]) for p in new_pos],
+        )
+        # only data files the delete files actually name are opened; the
+        # deleted ROW IMAGES come from joining on the file's row position
+        affected = sorted(
+            {r["file_path"] for r in dels.select("file_path").distinct().collect()}
+            & old_files
+        )
+        if affected:
+            old_rows = (
+                spark.read.option("basePath", data_dir)
+                .parquet(*affected)
+                .withColumns(
+                    {
+                        _FILE_COL: F.col("_metadata.file_path"),
+                        _POS_COL: F.col("_metadata.row_index"),
+                    }
+                )
+            )
+            keys = dels.select(
+                F.concat(F.lit("file:"), F.col("file_path")).alias(_FILE_COL),
+                F.col("pos").alias(_POS_COL),
+            )
+            deleted = old_rows.join(
+                F.broadcast(keys), [_FILE_COL, _POS_COL], "left_semi"
+            ).drop(_FILE_COL, _POS_COL)
+
+    return appended, deleted, ent_to["snapshot_id"]
+
+
 def compact_table(
     spark: SparkSession,
     table_dir: str,

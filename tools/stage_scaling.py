@@ -99,13 +99,21 @@ def child(stage: str, cpus: int, corpus_dir: str, prep_dir: str,
     try:
         if stage == "tokenize":
             docs = spark.read.parquet(corpus_dir)
-            stage_postings(docs.limit(2000), out)  # warm workers + codegen
+            # warm EVERY task slot's Python worker + codegen: a bare
+            # global limit() collapses to one task and would leave
+            # cpus-1 workers paying pandas import inside the timed run
+            stage_postings(
+                docs.limit(400 * cpus).repartition(cpus * 2), out
+            )
             t0 = time.perf_counter()
             stage_postings(docs, out)
             wall = time.perf_counter() - t0
         elif stage == "encode":
             raw = spark.read.parquet(os.path.join(prep_dir, "postings"))
-            stage_encode(raw.limit(50_000), out, avgdl, N_SHARDS)
+            stage_encode(
+                raw.limit(10_000 * cpus).repartition(cpus * 2),
+                out, avgdl, N_SHARDS,
+            )
             t0 = time.perf_counter()
             stage_encode(raw, out, avgdl, N_SHARDS)
             wall = time.perf_counter() - t0
