@@ -151,6 +151,37 @@ def test_connected_components_on_lsh_pairs(docs):
     assert got[1] == got[2] == got[3] == 1
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for a RELIABLE checkpoint:
+    labels identical on both algorithms, and checkpoint files actually
+    land in the directory (the executor-loss-safe mode a real cluster
+    needs for long CC runs)."""
+    import os
+
+    from tfidf_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (40, 50), (5, 6), (6, 7)], "a long, b long"
+    )
+    want = {r["doc_id"]: r["component_id"]
+            for r in connected_components(edges).collect()}
+    for algo in ("label", "star"):
+        ckdir = str(tmp_path / f"ck_{algo}")
+        got = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(
+                edges, algorithm=algo, checkpoint_dir=ckdir
+            ).collect()
+        }
+        assert got == want
+        written = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckdir)
+            for f in fs
+        ]
+        assert written, f"no reliable checkpoint files written for {algo}"
+
+
 def test_star_equals_label_on_small_graphs(spark):
     """large-star/small-star must produce byte-identical labels to
     min-label propagation on assorted graphs (seeded random + the

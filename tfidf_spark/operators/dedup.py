@@ -355,6 +355,7 @@ def connected_components_star(
     a_col: str = "a",
     b_col: str = "b",
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, component_id) via alternating LARGE-STAR / SMALL-STAR
     rounds (Kiveris et al., "Connected Components in MapReduce and
@@ -386,28 +387,30 @@ def connected_components_star(
     a dict is passed (the O(log n) property test pins it). Like the
     label-propagation form, per-round localCheckpoint truncates lineage
     and superseded generations are unpersisted.
+
+    ``checkpoint_dir``: when set, per-round generations use RELIABLE
+    ``checkpoint`` into that directory instead of ``localCheckpoint`` —
+    localCheckpoint blocks live only in executor storage, so on a real
+    cluster a lost executor aborts a long CC job; a reliable checkpoint
+    survives executor loss at the cost of a filesystem write per round.
     """
-    sym = (
+    ckpt = _make_checkpointer(edges, checkpoint_dir)
+    sym = ckpt(
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .union(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # every node that appears in the input keeps a label row even if the
     # star contraction makes it a center with no outgoing edge
-    nodes = sym.select(F.col("u").alias("doc_id")).distinct().localCheckpoint(
-        eager=True
-    )
+    nodes = ckpt(sym.select(F.col("u").alias("doc_id")).distinct())
 
     # canonical orientation larger -> smaller; the fixed point is checked
     # on this form
-    cur = (
+    cur = ckpt(
         sym.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+        ).distinct()
     )
     converged = False
     rounds = 0
@@ -429,13 +432,12 @@ def connected_components_star(
         # neighbors and u itself at the minimum neighbor
         o = ls  # large-star output is already (larger, smaller)
         mn = o.groupBy("u").agg(F.min("v").alias("mn"))
-        ss = (
+        ss = ckpt(
             o.join(mn, "u")
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .union(mn.select("u", F.col("mn").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         changed = (
             ss.exceptAll(cur).limit(1).count()
@@ -466,6 +468,18 @@ def connected_components_star(
     return labels
 
 
+def _make_checkpointer(edges: DataFrame, checkpoint_dir: str | None):
+    """Per-generation lineage truncation: ``localCheckpoint`` (executor
+    storage, fast, lost with an executor) by default, RELIABLE
+    ``checkpoint`` into ``checkpoint_dir`` when given — the right mode
+    for long CC runs on a real cluster where executor loss mid-job would
+    otherwise abort the whole iteration history."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 30,
@@ -473,6 +487,7 @@ def connected_components(
     b_col: str = "b",
     algorithm: str = "label",
     star_max_iter: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, component_id): transitive closure of the near-dup pair
     graph — component_id = the minimum doc_id reachable from each node.
@@ -512,6 +527,11 @@ def connected_components(
     right for long-path graphs), or ``"auto"`` (label propagation first,
     escalating to star if the round cap is hit with labels still
     moving).
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``checkpoint`` into that directory (survives executor loss
+    on a real cluster) instead of ``localCheckpoint``; forwarded to the
+    star variant on escalation.
     """
     if algorithm not in ("label", "star", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
@@ -525,30 +545,41 @@ def connected_components(
     )
     if algorithm == "star":
         return connected_components_star(
-            edges, max_iter=star_iters, a_col=a_col, b_col=b_col
+            edges,
+            max_iter=star_iters,
+            a_col=a_col,
+            b_col=b_col,
+            checkpoint_dir=checkpoint_dir,
         )
     if algorithm == "auto":
         try:
             return connected_components(
-                edges, max_iter=max_iter, a_col=a_col, b_col=b_col
+                edges,
+                max_iter=max_iter,
+                a_col=a_col,
+                b_col=b_col,
+                checkpoint_dir=checkpoint_dir,
             )
         except RuntimeError:
             return connected_components_star(
-                edges, max_iter=star_iters, a_col=a_col, b_col=b_col
+                edges,
+                max_iter=star_iters,
+                a_col=a_col,
+                b_col=b_col,
+                checkpoint_dir=checkpoint_dir,
             )
     # materialize the symmetric edge list ONCE: every round joins against
     # it, and an unmaterialized lineage would re-run the upstream pair
     # generation (the whole LSH pipeline) once per iteration
-    sym = (
+    ckpt = _make_checkpointer(edges, checkpoint_dir)
+    sym = ckpt(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = ckpt(
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
     )
     converged = False
     for _ in range(max_iter):
@@ -562,18 +593,16 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nb_comp").alias("min_nb"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(
                 neigh.select(F.col("src").alias("doc_id"), "min_nb"),
                 "doc_id",
                 "left",
-            )
-            .select(
+            ).select(
                 "doc_id",
                 F.least(F.col("comp"), F.coalesce("min_nb", "comp")).alias("comp"),
                 (F.coalesce("min_nb", "comp") < F.col("comp")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = new_labels.filter("chg").limit(1).count()
         old = labels
