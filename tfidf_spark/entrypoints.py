@@ -863,6 +863,53 @@ def q_iceberg_mor_deletes(spark, sf_dir):
         shutil.rmtree(tbl, ignore_errors=True)
 
 
+def q_iceberg_cdc(spark, sf_dir):
+    """Snapshot CDC, driver-gated (round 5): ``incremental_changes``
+    diffs two snapshots of a real pure-Python-format Iceberg table at
+    the METADATA level — appended rows come from reading only the data
+    files new since the ``from`` snapshot (O(delta), the old snapshot is
+    never scanned), deleted row images from joining the window's
+    position-delete files against only the old files they name. The
+    table lives in a tmp dir: write 2/3 of documents (s1), append the
+    rest, then a merge-on-read ``delete_where(doc_id % 7 == 0)`` —
+    so the appended feed must come back with in-window deletes already
+    applied, and the deleted feed must cover exactly the OLD files'
+    victims. Hash-gating against plain predicates on ``documents``
+    proves both feeds row-exactly. This is the table-side loop of the
+    north rule: appended -> compact_index, deleted -> delete_docs."""
+    import shutil
+    import tempfile
+
+    from tfidf_spark.sources import iceberg_meta
+    from tfidf_spark.sources.catalog import delete_where, incremental_changes
+
+    docs = _t(spark, sf_dir, "documents")
+    tbl = tempfile.mkdtemp(prefix="iceberg_cdc_")
+    shutil.rmtree(tbl)
+    try:
+        s1 = iceberg_meta.write_table(docs.filter(F.col("doc_id") % 3 != 0), tbl)
+        iceberg_meta.write_table(
+            docs.filter(F.col("doc_id") % 3 == 0), tbl,
+            timestamp_ms=1_700_000_000_001,
+        )
+        delete_where(
+            spark, tbl, F.col("doc_id") % 7 == 0,
+            timestamp_ms=1_700_000_000_002,
+        )
+        appended, deleted, _ = incremental_changes(spark, tbl, s1)
+        cols = lambda op, df: df.select(  # noqa: E731
+            F.lit(op).alias("op"),
+            "doc_id",
+            F.sha2("text", 256).alias("content_sha"),
+        )
+        out = cols("append", appended)
+        if deleted is not None:
+            out = out.unionByName(cols("delete", deleted))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # Registry + oracles
 # --------------------------------------------------------------------------
@@ -916,6 +963,7 @@ QUERIES = {
     "iceberg_roundtrip": q_iceberg_roundtrip,
     "iceberg_partitioned_prune": q_iceberg_partitioned_prune,
     "iceberg_mor_deletes": q_iceberg_mor_deletes,
+    "iceberg_cdc": q_iceberg_cdc,
     "rls_scoped_docs": q_rls_scoped_docs,
     "events_hypertable_daily": q_events_hypertable_daily,
     "dup_components": q_dup_components,
@@ -1414,6 +1462,12 @@ ORACLES = {
     "iceberg_mor_deletes": """
         SELECT doc_id, sha256(text) AS content_sha, lang
         FROM documents WHERE doc_id % 10 <> 0 AND lang <> 'de'""",
+    "iceberg_cdc": """
+        SELECT 'append' AS op, doc_id, sha256(text) AS content_sha
+        FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
+        UNION ALL
+        SELECT 'delete' AS op, doc_id, sha256(text) AS content_sha
+        FROM documents WHERE doc_id % 3 <> 0 AND doc_id % 7 = 0""",
 }
 
 # label-identical by construction (large-star/small-star fixed point =
