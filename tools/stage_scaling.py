@@ -333,12 +333,19 @@ def orchestrate() -> None:
         f"| **{med[s]:.3f}** |"
         for s in STAGES
     )
-    hist_rows = "\n".join(
-        f"| {i} | {r.get('median_ceiling') if r.get('median_ceiling') is None else '%.3f' % r['median_ceiling']} "
-        f"| {r['median_eff']['tokenize']:.3f} | {r['median_eff']['encode']:.3f} "
-        f"| **{r['composite_build_eff']:.3f}** |"
-        for i, r in enumerate(runs)
-    )
+    def _hist_row(i, r):
+        # partial (killed) runs are kept in the history for disclosure
+        # but have no medians/composite to format
+        if "median_eff" not in r or "composite_build_eff" not in r:
+            return f"| {i} | — | — | — | ({r.get('status', 'partial run')}) |"
+        ceil = r.get("median_ceiling")
+        return (
+            f"| {i} | {ceil if ceil is None else '%.3f' % ceil} "
+            f"| {r['median_eff']['tokenize']:.3f} | {r['median_eff']['encode']:.3f} "
+            f"| **{r['composite_build_eff']:.3f}** |"
+        )
+
+    hist_rows = "\n".join(_hist_row(i, r) for i, r in enumerate(runs))
     block = f"""<!-- STAGE_SCALING -->
 ## PRIMARY evidence: per-stage pinned adjacent ratios (r5 protocol)
 
