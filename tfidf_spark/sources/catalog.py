@@ -41,6 +41,100 @@ def iceberg_available(spark: SparkSession) -> bool:
 _FILE_COL, _POS_COL, _DSEQ_COL = "__iceberg_file", "__iceberg_pos", "__iceberg_dseq"
 
 
+# Above this many delete rows the merge-on-read anti-joins switch from
+# broadcast to shuffle joins: delete files are usually metadata-sized,
+# but delete_where is explicitly built to commit billions of positions
+# distributed — broadcasting those would blow the driver/executor memory
+# on the NEXT read of the table. Threshold is rows (the delete frames
+# are narrow: (path, pos) or the equality key columns).
+_BROADCAST_DELETE_ROWS = int(
+    os.environ.get("TFIDF_ICEBERG_BROADCAST_DELETE_ROWS", "4000000")
+)
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    if n_rows <= _BROADCAST_DELETE_ROWS:
+        return F.broadcast(df)
+    # large delete set: let the optimizer plan a shuffle join (a
+    # compact_table run would fold these back into data files)
+    return df
+
+
+def _rename_map(writer_names: dict, current_names: dict) -> dict[str, str]:
+    """Field-id join of a file's WRITER schema against the table's
+    current schema -> {old_column_name: current_name} for every field
+    whose label changed (ids are the identity; names are labels)."""
+    return {
+        writer_names[fid]: current_names[fid]
+        for fid in writer_names
+        if fid in current_names and writer_names[fid] != current_names[fid]
+    }
+
+
+def _scan_entries(
+    spark: SparkSession,
+    data_dir: str,
+    ent: dict,
+    entries: list[dict],
+    with_meta: bool = False,
+) -> DataFrame:
+    """Scan data-file entries presenting the CURRENT schema's column
+    names: files are grouped by the schema they were written under
+    (``snapshot_entries`` resolves it per entry through the adding
+    snapshot) and renamed via the field-id mapping — so a table that had
+    ``ALTER TABLE RENAME COLUMN`` run between snapshots reads all its
+    files consistently instead of silently mis-binding by name. One scan
+    per distinct writer schema (almost always exactly one), unioned by
+    name."""
+    cur = ent["schemas_by_id"].get(ent["current_schema_id"], {})
+    groups: dict[int, list[str]] = {}
+    for d in entries:
+        groups.setdefault(d.get("schema_id", ent["current_schema_id"]), []).append(
+            d["path"]
+        )
+    parts = []
+    for sid in sorted(groups):
+        s = spark.read.option("basePath", data_dir).parquet(*groups[sid])
+        if with_meta:
+            # _metadata resolves only on the scan relation — capture it
+            # before any projection
+            s = s.withColumns(
+                {
+                    _FILE_COL: F.col("_metadata.file_path"),
+                    _POS_COL: F.col("_metadata.row_index"),
+                }
+            )
+        ren = _rename_map(ent["schemas_by_id"].get(sid, cur), cur)
+        if ren:
+            s = s.withColumnsRenamed(ren)
+        parts.append(s)
+    return reduce(DataFrame.unionByName, parts)
+
+
+def _read_eq_keys(spark: SparkSession, ent: dict, e: dict) -> DataFrame:
+    """Equality-delete key file -> DataFrame of its key columns under
+    CURRENT names (the delete parquet was written under the schema of
+    its committing snapshot)."""
+    cur = ent["schemas_by_id"].get(ent["current_schema_id"], {})
+    writer = ent["schemas_by_id"].get(e.get("schema_id"), cur)
+    d = spark.read.parquet(e["path"])
+    ren = _rename_map(writer, cur)
+    if ren:
+        d = d.withColumnsRenamed(ren)
+    return d.select(*e["equality_cols"])
+
+
+def _drop_derived_partition_cols(df: DataFrame, pfields: list[dict]) -> DataFrame:
+    """Spark's basePath partition discovery reconstructs EVERY hive dir
+    as a column — for identity fields that is the round-trip we want
+    (partitionBy dropped the source column from the files), but for
+    transformed fields (``repo_bucket=3``) the derived column is layout
+    metadata, not table schema: the source column is stored in the data
+    files, so drop the derived one."""
+    derived = [pf["name"] for pf in pfields if pf.get("transform") != "identity"]
+    return df.drop(*derived) if derived else df
+
+
 def read_table(
     spark: SparkSession,
     table_dir: str,
@@ -60,9 +154,11 @@ def read_table(
       anti-joining ``(_metadata.file_path, _metadata.row_index)`` —
       Spark's per-file row position, exactly the spec's ``pos`` — scoped
       to data files with data_seq <= delete_seq; equality-delete files
-      anti-join their key columns scoped to data_seq < delete_seq. Both
-      delete sides are broadcast (delete files are metadata-sized next to
-      the data), so no extra shuffle lands on the scan.
+      anti-join their key columns scoped to data_seq < delete_seq. Delete
+      sides are broadcast while their manifest-recorded row counts stay
+      under ``TFIDF_ICEBERG_BROADCAST_DELETE_ROWS`` (no extra shuffle on
+      the scan); a mass-delete snapshot past the threshold falls back to
+      a shuffle join instead of OOMing the driver.
     """
     from tfidf_spark.sources import iceberg_meta
 
@@ -75,19 +171,11 @@ def read_table(
             + (f" for partition filter {partition_filter}" if partition_filter else "")
         )
     data_dir = os.path.join(os.path.abspath(table_dir), "data")
-    df = (
-        spark.read.option("basePath", data_dir)
-        .parquet(*[d["path"] for d in ent["data"]])
-    )
     pos, eq = ent["pos_deletes"], ent["eq_deletes"]
-    if not pos and not eq and not _with_position:
-        return df, ent["snapshot_id"]
-
-    df = df.withColumns(
-        {
-            _FILE_COL: F.col("_metadata.file_path"),
-            _POS_COL: F.col("_metadata.row_index"),
-        }
+    with_meta = bool(pos or eq or _with_position)
+    df = _drop_derived_partition_cols(
+        _scan_entries(spark, data_dir, ent, ent["data"], with_meta=with_meta),
+        ent["partition_fields"],
     )
     if not pos and not eq:
         return df, ent["snapshot_id"]
@@ -115,7 +203,7 @@ def read_table(
             "_delseq",
         )
         df = df.join(
-            F.broadcast(dels),
+            _maybe_broadcast(dels, sum(p["record_count"] for p in pos)),
             (F.col(_FILE_COL) == F.col("_dfile"))
             & (F.col(_POS_COL) == F.col("_dpos"))
             & (F.col(_DSEQ_COL) <= F.col("_delseq")),
@@ -124,16 +212,14 @@ def read_table(
     for e in eq:
         if not e["equality_cols"]:
             raise ValueError(f"equality delete file {e['path']} has no equality_ids")
-        d = (
-            spark.read.parquet(e["path"])
-            .select(*e["equality_cols"])
-            .withColumn("_delseq", F.lit(e["seq"]).cast("long"))
+        d = _read_eq_keys(spark, ent, e).withColumn(
+            "_delseq", F.lit(e["seq"]).cast("long")
         )
         cond = reduce(
             lambda a, b: a & b,
             [df[c].eqNullSafe(d[c]) for c in e["equality_cols"]],
         ) & (df[_DSEQ_COL] < d["_delseq"])
-        df = df.join(F.broadcast(d), cond, "left_anti")
+        df = df.join(_maybe_broadcast(d, e["record_count"]), cond, "left_anti")
     df = df.drop(_DSEQ_COL)
     if not _with_position:
         df = df.drop(_FILE_COL, _POS_COL)
@@ -205,6 +291,7 @@ def incremental_changes(
     table_dir: str,
     from_snapshot_id: int,
     to_snapshot_id: int | None = None,
+    scan_eq_deletes: bool = False,
 ) -> tuple[DataFrame, DataFrame | None, int]:
     """Metadata-driven CDC between two snapshots of a pure-Python-format
     Iceberg table -> ``(appended_df, deleted_df_or_None, resolved_to_id)``.
@@ -217,9 +304,15 @@ def incremental_changes(
     - **deleted**: rows POSITION-deleted between the snapshots, read by
       joining the new delete files' ``(file_path, pos)`` against only
       the data files they name — O(affected files), not O(table).
-      Equality deletes committed in the window raise: extracting their
-      row images requires scanning every older live file, which the
-      caller should do explicitly if it accepts the cost.
+      Equality deletes committed in the window raise by default:
+      extracting their row images requires scanning every older live
+      file. Pass ``scan_eq_deletes=True`` to accept that documented
+      O(old-files) cost — the ``from`` snapshot's live view is scanned
+      once and semi-joined against the new equality-delete keys (every
+      ``from``-live file has data_seq <= seq(from) < delete_seq, so the
+      spec's sequence scoping is implied), and the same keys are
+      anti-joined out of ``appended`` for files written before the
+      delete (net CDC semantics, like the position path).
 
     This is the table-side feed for index maintenance: appended rows ->
     ``incremental.compact_index`` (O(delta) segment merge), deleted rows
@@ -234,31 +327,51 @@ def incremental_changes(
     ent_to = iceberg_meta.snapshot_entries(table_dir, snapshot_id=to_snapshot_id)
     data_dir = os.path.join(os.path.abspath(table_dir), "data")
 
+    # a REPLACE commit (rewrite_table / compact_table) inside the window
+    # breaks the file-set diff: every rewritten file would look "new"
+    # (the whole table re-emitted as appends) and rows the rewrite
+    # dropped would report no deletes — silent downstream corruption, so
+    # refuse loudly like the in-window equality-delete case below
+    meta = iceberg_meta.current_metadata(table_dir)
+    snaps = meta.get("snapshots", [])
+    ids = [s["snapshot-id"] for s in snaps]
+    try:
+        i_from, i_to = ids.index(ent_from["snapshot_id"]), ids.index(ent_to["snapshot_id"])
+    except ValueError as e:
+        raise ValueError(f"snapshot not in table history: {e}") from None
+    for s in snaps[i_from + 1: i_to + 1]:
+        op = (s.get("summary") or {}).get("operation")
+        if op in ("replace", "overwrite"):
+            raise NotImplementedError(
+                f"snapshot {s['snapshot-id']} in the CDC window is a "
+                f"{op!r} commit (rewrite/compaction): a file-level diff "
+                "cannot attribute its row-level changes — resume CDC from "
+                "the post-rewrite snapshot, or diff the two live views "
+                "explicitly if the O(table) cost is intended"
+            )
+
     old_files = {d["path"] for d in ent_from["data"]}
     new_entries = [d for d in ent_to["data"] if d["path"] not in old_files]
     old_pos = {p["path"] for p in ent_from["pos_deletes"]}
     old_eq = {e["path"] for e in ent_from["eq_deletes"]}
     new_pos = [p for p in ent_to["pos_deletes"] if p["path"] not in old_pos]
     new_eq = [e for e in ent_to["eq_deletes"] if e["path"] not in old_eq]
-    if new_eq:
+    if new_eq and not scan_eq_deletes:
         raise NotImplementedError(
             "equality deletes were committed between the snapshots; their "
-            "row images require scanning all older live files — read the "
-            "two snapshots explicitly if that cost is intended"
+            "row images require scanning all older live files — pass "
+            "scan_eq_deletes=True to accept that O(old-files) cost"
         )
 
     if new_entries:
-        appended = (
-            spark.read.option("basePath", data_dir)
-            .parquet(*[d["path"] for d in new_entries])
+        appended = _drop_derived_partition_cols(
+            _scan_entries(
+                spark, data_dir, ent_to, new_entries,
+                with_meta=bool(new_pos or new_eq),
+            ),
+            ent_to["partition_fields"],
         )
         if new_pos:
-            appended = appended.withColumns(
-                {
-                    _FILE_COL: F.col("_metadata.file_path"),
-                    _POS_COL: F.col("_metadata.row_index"),
-                }
-            )
             dels = reduce(
                 DataFrame.unionByName,
                 [spark.read.parquet(p["path"]) for p in new_pos],
@@ -267,8 +380,33 @@ def incremental_changes(
                 F.col("pos").alias(_POS_COL),
             )
             appended = appended.join(
-                F.broadcast(dels), [_FILE_COL, _POS_COL], "left_anti"
-            ).drop(_FILE_COL, _POS_COL)
+                _maybe_broadcast(dels, sum(p["record_count"] for p in new_pos)),
+                [_FILE_COL, _POS_COL],
+                "left_anti",
+            )
+        if new_eq:
+            # per-file data sequence numbers for the new files, so an
+            # equality delete only erases appended rows WRITTEN BEFORE it
+            # (data_seq < delete_seq, the spec's scoping rule)
+            seq_map = spark.createDataFrame(
+                [(f"file:{d['path']}", d["seq"]) for d in new_entries],
+                f"{_FILE_COL} string, {_DSEQ_COL} long",
+            )
+            appended = appended.join(F.broadcast(seq_map), _FILE_COL, "left")
+            for e in new_eq:
+                d = _read_eq_keys(spark, ent_to, e).withColumn(
+                    "_delseq", F.lit(e["seq"]).cast("long")
+                )
+                cond = reduce(
+                    lambda a, b: a & b,
+                    [appended[c].eqNullSafe(d[c]) for c in e["equality_cols"]],
+                ) & (appended[_DSEQ_COL] < d["_delseq"])
+                appended = appended.join(
+                    _maybe_broadcast(d, e["record_count"]), cond, "left_anti"
+                )
+            appended = appended.drop(_DSEQ_COL)
+        if new_pos or new_eq:
+            appended = appended.drop(_FILE_COL, _POS_COL)
     else:
         df_any, _ = read_table(spark, table_dir, snapshot_id=to_snapshot_id)
         appended = df_any.limit(0)
@@ -286,23 +424,51 @@ def incremental_changes(
             & old_files
         )
         if affected:
-            old_rows = (
-                spark.read.option("basePath", data_dir)
-                .parquet(*affected)
-                .withColumns(
-                    {
-                        _FILE_COL: F.col("_metadata.file_path"),
-                        _POS_COL: F.col("_metadata.row_index"),
-                    }
-                )
+            aff_set = set(affected)
+            old_rows = _drop_derived_partition_cols(
+                _scan_entries(
+                    spark, data_dir, ent_from,
+                    [d for d in ent_from["data"] if d["path"] in aff_set],
+                    with_meta=True,
+                ),
+                ent_from["partition_fields"],
             )
             keys = dels.select(
                 F.concat(F.lit("file:"), F.col("file_path")).alias(_FILE_COL),
                 F.col("pos").alias(_POS_COL),
             )
             deleted = old_rows.join(
-                F.broadcast(keys), [_FILE_COL, _POS_COL], "left_semi"
-            ).drop(_FILE_COL, _POS_COL)
+                _maybe_broadcast(keys, sum(p["record_count"] for p in new_pos)),
+                [_FILE_COL, _POS_COL],
+                "left_semi",
+            )
+    if new_eq:
+        # the documented O(old-files) path: every from-live row matching
+        # a new equality-delete key is dead at `to` (sequence scoping is
+        # implied — see docstring); semi-join the from snapshot's live
+        # view once per delete file
+        from_view, _ = read_table(
+            spark, table_dir, snapshot_id=ent_from["snapshot_id"],
+            _with_position=True,
+        )
+        eq_dead = None
+        for e in new_eq:
+            d = _read_eq_keys(spark, ent_to, e)
+            cond = reduce(
+                lambda a, b: a & b,
+                [from_view[c].eqNullSafe(d[c]) for c in e["equality_cols"]],
+            )
+            hit = from_view.join(
+                _maybe_broadcast(d, e["record_count"]), cond, "left_semi"
+            )
+            eq_dead = hit if eq_dead is None else eq_dead.unionByName(hit)
+        # a row can be both position- and equality-deleted in the window
+        # — emit one delete event per row image
+        deleted = (
+            eq_dead if deleted is None else deleted.unionByName(eq_dead)
+        ).dropDuplicates([_FILE_COL, _POS_COL])
+    if deleted is not None:
+        deleted = deleted.drop(_FILE_COL, _POS_COL)
 
     return appended, deleted, ent_to["snapshot_id"]
 

@@ -299,8 +299,13 @@ def _bound_value(raw: bytes | None, iceberg_type: str):
 
 def partition_fields(meta: dict) -> list[dict]:
     """Default partition spec resolved against the current schema ->
-    [{name, field-id, source-id, iceberg_type}] (identity transforms only
-    — the only transform this writer produces)."""
+    [{name, field-id, source-id, source_name, source_type, transform
+    (kind), param, iceberg_type}]. ``iceberg_type`` is the type of the
+    transform RESULT — the type partition tuples, hive dir values, and
+    manifest field-summary bounds carry (int for bucket/days, the source
+    type for identity/truncate)."""
+    from tfidf_spark.sources import iceberg_transforms as T
+
     spec_id = meta.get("default-spec-id", 0)
     spec = next(
         s for s in meta.get("partition-specs", []) if s["spec-id"] == spec_id
@@ -311,30 +316,85 @@ def partition_fields(meta: dict) -> list[dict]:
         if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
     )
     types = {f["id"]: f["type"] for f in schema["fields"]}
+    names = {f["id"]: f["name"] for f in schema["fields"]}
     out = []
     for pf in spec.get("fields", []):
-        if pf["transform"] != "identity":
-            raise NotImplementedError(
-                f"partition transform {pf['transform']!r} (identity only)"
-            )
+        kind, param = T.parse_transform(pf["transform"])
+        src_type = types[pf["source-id"]]
         out.append(
             {
                 "name": pf["name"],
                 "field-id": pf["field-id"],
                 "source-id": pf["source-id"],
-                "iceberg_type": types[pf["source-id"]],
+                "source_name": names[pf["source-id"]],
+                "source_type": src_type,
+                "transform": kind,
+                "param": param,
+                "iceberg_type": T.result_type(kind, src_type),
             }
         )
     return out
 
 
-def _normalize_filter(partition_filter: dict | None) -> dict[str, set] | None:
+def _coerce_source(value, source_type: str):
+    """Coerce a user-supplied filter value to the partition SOURCE
+    column's Iceberg type before transforming/comparing — the CLI always
+    passes strings, and an uncoerced string never matches a decoded
+    numeric bound (silent full prune) or raises on `lo <= v <= hi`."""
+    return _coerce(value, source_type)
+
+
+def _normalize_filter(
+    partition_filter: dict | None, pfields: list[dict] | None = None
+) -> dict[str, set] | None:
+    """User filter -> {spec_field_name: allowed TRANSFORMED values}.
+
+    Filter keys are SOURCE column names: each spec field derived from
+    that column gets the filter values coerced to the source type and
+    pushed through its transform (identity passes them unchanged, so the
+    historical {col: value} form behaves as before). A key matching a
+    spec FIELD name (and no source column) is taken as already
+    transformed. Unknown keys raise in ``snapshot_entries``."""
+    from tfidf_spark.sources import iceberg_transforms as T
+
     if not partition_filter:
         return None
-    return {
+    norm = {
         k: set(v) if isinstance(v, (list, tuple, set, frozenset)) else {v}
         for k, v in partition_filter.items()
     }
+    if pfields is None:
+        return norm
+    by_source: dict[str, list[dict]] = {}
+    by_field = {pf["name"]: pf for pf in pfields}
+    for pf in pfields:
+        by_source.setdefault(pf["source_name"], []).append(pf)
+    out: dict[str, set] = {}
+    unknown = []
+    for key, vals in norm.items():
+        if key in by_source:
+            for pf in by_source[key]:
+                out.setdefault(pf["name"], set()).update(
+                    T.transform_value(
+                        pf["transform"],
+                        pf["param"],
+                        _coerce_source(v, pf["source_type"]),
+                        pf["source_type"],
+                    )
+                    for v in vals
+                )
+        elif key in by_field:
+            pf = by_field[key]
+            out.setdefault(key, set()).update(
+                _coerce(v, pf["iceberg_type"]) for v in vals
+            )
+        else:
+            unknown.append(key)
+    if unknown:
+        raise ValueError(
+            f"partition filter on non-partition columns: {sorted(unknown)}"
+        )
+    return out
 
 
 def snapshot_entries(
@@ -361,24 +421,44 @@ def snapshot_entries(
     meta = current_metadata(table_dir)
     snap = resolve_snapshot(meta, snapshot_id)
     pfields = partition_fields(meta)
-    by_name = {pf["name"]: pf for pf in pfields}
-    flt = _normalize_filter(partition_filter)
-    if flt:
-        unknown = set(flt) - set(by_name)
-        if unknown:
-            raise ValueError(
-                f"partition filter on non-partition columns: {sorted(unknown)}"
-            )
+    # keys are source column names (coerced to the source type, then
+    # pushed through each derived field's transform) — so callers filter
+    # `{"repo": "x"}` identically on identity- and bucket-partitioned
+    # tables, and string CLI values prune typed specs correctly
+    flt = _normalize_filter(partition_filter, pfields)
+    # historical schemas first, CURRENT schema last so equality-delete
+    # key columns always resolve to current names
     id_to_col = {}
-    for s in meta.get("schemas", []):
+    for s in sorted(
+        meta.get("schemas", []),
+        key=lambda s: s.get("schema-id", 0) == meta.get("current-schema-id", 0),
+    ):
         for f in s["fields"]:
             id_to_col[f["id"]] = f["name"]
+
+    # field-id-based column resolution (schema evolution): every data /
+    # equality-delete entry records the schema its file was WRITTEN
+    # under (via its adding snapshot's schema-id), and readers map those
+    # column names to the current schema's through the immutable field
+    # ids — so files written before an ALTER TABLE RENAME COLUMN keep
+    # reading correctly instead of silently dropping the renamed column
+    snap_schema_ids = {
+        s["snapshot-id"]: s.get("schema-id", 0)
+        for s in meta.get("snapshots", [])
+    }
+    current_schema_id = meta.get("current-schema-id", 0)
+    schemas_by_id = {
+        s.get("schema-id", 0): {f["id"]: f["name"] for f in s["fields"]}
+        for s in meta.get("schemas", [])
+    }
 
     mlist_path = _strip_file_uri(snap["manifest-list"])
     _, manifests = read_container(mlist_path)
     out = {
         "snapshot_id": snap["snapshot-id"],
         "partition_fields": pfields,
+        "current_schema_id": current_schema_id,
+        "schemas_by_id": schemas_by_id,
         "data": [],
         "pos_deletes": [],
         "eq_deletes": [],
@@ -440,10 +520,19 @@ def snapshot_entries(
                         "partition": dict(part),
                         "seq": seq,
                         "record_count": df.get("record_count", 0),
+                        "schema_id": snap_schema_ids.get(
+                            e.get("snapshot_id"), current_schema_id
+                        ),
                     }
                 )
             elif content == CONTENT_POSITION_DELETES:
-                out["pos_deletes"].append({"path": path, "seq": seq})
+                out["pos_deletes"].append(
+                    {
+                        "path": path,
+                        "seq": seq,
+                        "record_count": df.get("record_count", 0),
+                    }
+                )
             elif content == CONTENT_EQUALITY_DELETES:
                 ids = df.get("equality_ids") or []
                 out["eq_deletes"].append(
@@ -451,6 +540,10 @@ def snapshot_entries(
                         "path": path,
                         "seq": seq,
                         "equality_cols": [id_to_col[i] for i in ids],
+                        "record_count": df.get("record_count", 0),
+                        "schema_id": snap_schema_ids.get(
+                            e.get("snapshot_id"), current_schema_id
+                        ),
                     }
                 )
             else:
@@ -495,6 +588,9 @@ _SPARK_TO_ICEBERG = {
     "float": "float",
     "boolean": "boolean",
     "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp",
 }
 
 
@@ -596,21 +692,30 @@ def _write_manifest(
             }
         )
         total_rows += entries[-1]["data_file"]["record_count"]
+    from tfidf_spark.sources import iceberg_transforms as T
+
     spec_fields_json = json.dumps(
         [
             {
                 "name": pf["name"],
-                "transform": "identity",
+                "transform": T.transform_str(
+                    pf.get("transform", "identity"), pf.get("param")
+                ),
                 "source-id": pf["source-id"],
                 "field-id": pf["field-id"],
             }
             for pf in pfields
         ]
     ).encode()
+    # the snapshot id is part of the name: re-committing the same file
+    # set later (e.g. a retried delete commit) must write a NEW manifest,
+    # never overwrite one an earlier snapshot's manifest list references
+    # (committed manifests are immutable; overwriting mutates time-travel
+    # history)
     name = (
         "m-"
         + hashlib.sha256(
-            repr(sorted(p for p, _ in pairs)).encode()
+            (repr(sorted(p for p, _ in pairs)) + f"|{snapshot_id}|{seq}").encode()
         ).hexdigest()[:16]
         + ".avro"
     )
@@ -687,15 +792,18 @@ def _commit(
             raise ValueError("spark_schema is required for the first commit")
         if content != CONTENT_DATA:
             raise ValueError("a table cannot start with a delete snapshot")
+        from tfidf_spark.sources import iceberg_transforms as T
+
         col_ids = {f.name: i for i, f in enumerate(spark_schema.fields, 1)}
         spec_fields = []
-        for i, col in enumerate(partition_by or []):
+        for i, spec_txt in enumerate(partition_by or []):
+            col, kind, param = T.parse_partition_by(spec_txt)
             if col not in col_ids:
                 raise ValueError(f"partition column {col!r} not in schema")
             spec_fields.append(
                 {
-                    "name": col,
-                    "transform": "identity",
+                    "name": T.default_field_name(kind, param, col),
+                    "transform": T.transform_str(kind, param),
                     "source-id": col_ids[col],
                     "field-id": 1000 + i,
                 }
@@ -774,7 +882,7 @@ def _commit(
         "sequence-number": seq,
         "timestamp-ms": timestamp_ms,
         "manifest-list": os.path.abspath(mlist_path),
-        "schema-id": 0,
+        "schema-id": meta.get("current-schema-id", 0),
         "summary": {
             "operation": operation,
             key: str(manifest["added_files_count"]),
@@ -809,6 +917,8 @@ def _commit(
 
 
 def _coerce(value, iceberg_type: str):
+    import datetime as _dt
+
     if value is None:
         return None
     if iceberg_type in ("long", "int"):
@@ -817,6 +927,16 @@ def _coerce(value, iceberg_type: str):
         return float(value)
     if iceberg_type == "boolean":
         return value in (True, "true", "True", 1)
+    if iceberg_type == "timestamp":
+        if isinstance(value, _dt.datetime):
+            return value
+        return _dt.datetime.fromisoformat(str(value))
+    if iceberg_type == "date":
+        if isinstance(value, _dt.datetime):
+            return value.date()
+        if isinstance(value, _dt.date):
+            return value
+        return _dt.date.fromisoformat(str(value))
     return str(value)
 
 
@@ -965,14 +1085,55 @@ def _hive_partition_of(rel_dir: str) -> dict:
     return part
 
 
-def _materialize(df, table_dir: str, partition_by: list[str] | None) -> list:
+def _spec_from_partition_by(partition_by: list[str] | None, spark_schema) -> list[dict]:
+    """User ``partition_by`` spec strings + DataFrame schema ->
+    pseudo-pfields for materialization of a table's FIRST commit (the
+    same shape ``partition_fields`` resolves from metadata afterwards)."""
+    from tfidf_spark.sources import iceberg_transforms as T
+
+    types = {f.name: f.dataType.simpleString() for f in spark_schema.fields}
+    out = []
+    for spec_txt in partition_by or []:
+        col, kind, param = T.parse_partition_by(spec_txt)
+        if col not in types:
+            raise ValueError(f"partition column {col!r} not in schema")
+        src_type = _SPARK_TO_ICEBERG.get(types[col], types[col])
+        out.append(
+            {
+                "name": T.default_field_name(kind, param, col),
+                "source_name": col,
+                "transform": kind,
+                "param": param,
+                "source_type": src_type,
+                "iceberg_type": T.result_type(kind, src_type),
+            }
+        )
+    return out
+
+
+def _materialize(df, table_dir: str, pfields: list[dict]) -> list:
     """Write ``df``'s parquet into ``data/`` (hive layout when
     partitioned) via a staging dir -> list of new files, as paths or
-    ``(path, partition_dict)`` pairs."""
+    ``(path, partition_dict)`` pairs. Non-identity spec fields are
+    computed as DERIVED columns (JVM exprs; Arrow-vectorized murmur3 for
+    bucket) just for ``partitionBy`` — the partitionBy drops them from
+    the file contents, so the SOURCE column stays stored (only identity
+    sources are reconstructed from hive dirs at read time)."""
     import shutil
+
+    from tfidf_spark.sources import iceberg_transforms as T
 
     data_dir = os.path.join(table_dir, "data")
     staging = os.path.join(table_dir, "_staging")
+    for pf in pfields:
+        if pf["transform"] != "identity":
+            df = df.withColumn(
+                pf["name"],
+                T.transform_column(
+                    pf["transform"], pf["param"], pf["source_name"], pf["source_type"]
+                ),
+            )
+    partition_by = [pf["name"] for pf in pfields]
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -1011,15 +1172,20 @@ def write_table(
 
     With ``partition_by``, data files are laid out hive-style
     (``data/lang=py/...parquet``) and each manifest entry carries its
-    identity-transform partition tuple — so reads prune at the manifest
-    AND file level, and Spark's partition discovery (basePath =
-    ``data/``) reconstructs the partition columns. Appends to a
-    partitioned table inherit the table's spec (``partition_by`` is only
-    consulted on table creation)."""
+    partition tuple — so reads prune at the manifest AND file level.
+    Elements are spec strings: ``"lang"`` (identity), ``"bucket(4,
+    repo)"``, ``"truncate(3, path)"``, ``"days(ts)"`` — the transforms
+    of the public Iceberg spec (murmur3-exact for bucket). Identity
+    sources are reconstructed by Spark's partition discovery (basePath =
+    ``data/``); transformed sources stay stored in the data files and
+    the derived hive dirs (``repo_bucket=3``) exist only for layout +
+    pruning. Appends to a partitioned table inherit the table's spec
+    (``partition_by`` is only consulted on table creation)."""
     if is_iceberg_table(table_dir):
         pfields = partition_fields(current_metadata(table_dir))
-        partition_by = [pf["name"] for pf in pfields]
-    new_files = _materialize(df, table_dir, partition_by)
+    else:
+        pfields = _spec_from_partition_by(partition_by, df.schema)
+    new_files = _materialize(df, table_dir, pfields)
     return commit_append(
         table_dir,
         new_files,
@@ -1043,7 +1209,7 @@ def rewrite_table(
     if not is_iceberg_table(table_dir):
         raise ValueError(f"{table_dir} is not an Iceberg table")
     pfields = partition_fields(current_metadata(table_dir))
-    new_files = _materialize(df, table_dir, [pf["name"] for pf in pfields])
+    new_files = _materialize(df, table_dir, pfields)
     return _commit(
         table_dir,
         new_files,
@@ -1052,6 +1218,72 @@ def rewrite_table(
         timestamp_ms=timestamp_ms,
         carry_prior=False,
     )
+
+
+def rename_column(
+    table_dir: str,
+    old: str,
+    new: str,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """``ALTER TABLE RENAME COLUMN``: append a new schema that renames
+    field ``old`` to ``new`` KEEPING ITS FIELD ID (the Iceberg evolution
+    rule — ids are the identity, names are labels) and point
+    current-schema-id at it. No data file is touched: files written
+    under the old schema keep reading through the field-id mapping in
+    ``snapshot_entries``/``catalog.read_table``. Returns the new
+    schema id."""
+    meta = current_metadata(table_dir)
+    schemas = list(meta.get("schemas", []))
+    cur_id = meta.get("current-schema-id", 0)
+    cur = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
+    names = [f["name"] for f in cur["fields"]]
+    if old not in names:
+        raise ValueError(f"column {old!r} not in current schema {names}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists in {names}")
+    new_id = max(s.get("schema-id", 0) for s in schemas) + 1
+    new_schema = {
+        "type": "struct",
+        "schema-id": new_id,
+        "fields": [
+            {**f, "name": new if f["name"] == old else f["name"]}
+            for f in cur["fields"]
+        ],
+    }
+    # an identity partition source cannot be renamed here: its values
+    # live in on-disk hive dir NAMES (`lang=py/`) that partition
+    # discovery reconstructs literally — old and new files would surface
+    # different column names under one basePath. (Transform-derived
+    # fields like repo_bucket keep the source column IN the files, so
+    # renaming their source is fine.)
+    src_id = next(f["id"] for f in cur["fields"] if f["name"] == old)
+    for spec in meta.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            if pf["source-id"] == src_id and pf["transform"] == "identity":
+                raise NotImplementedError(
+                    f"column {old!r} is an identity partition source; its "
+                    "name is baked into the hive directory layout — "
+                    "rewrite_table into a new spec first"
+                )
+
+    md = _meta_dir(table_dir)
+    version = (
+        max(
+            int(os.path.basename(p).split(".")[0][1:])
+            for p in glob.glob(os.path.join(md, "v*.metadata.json"))
+        )
+        + 1
+    )
+    meta = dict(meta)
+    meta["schemas"] = schemas + [new_schema]
+    meta["current-schema-id"] = new_id
+    meta["last-updated-ms"] = timestamp_ms
+    with open(os.path.join(md, f"v{version}.metadata.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    with open(os.path.join(md, "version-hint.text"), "w") as f:
+        f.write(str(version))
+    return new_id
 
 
 def expire_snapshots(

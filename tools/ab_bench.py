@@ -38,10 +38,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-R4_COMMIT = "c9b0a17"
+R4_COMMIT = os.environ.get("AB_COMMIT", "c9b0a17")
+AB_TAG = os.environ.get("AB_TAG", "AB_R4_R5")
 
 
-def load_r4_builder(repo_root: str, workdir: str):
+def load_r4_builder(repo_root: str, workdir: str, spark):
     src = subprocess.run(
         ["git", "-C", repo_root, "show", f"{R4_COMMIT}:tfidf_spark/index/builder.py"],
         check=True, capture_output=True, text=True,
@@ -49,6 +50,10 @@ def load_r4_builder(repo_root: str, workdir: str):
     path = os.path.join(workdir, "builder_r4.py")
     with open(path, "w") as f:
         f.write(src)
+    # the mapInPandas kernels are module-level functions of builder_r4;
+    # workers unpickle them by reference, so the module must be
+    # importable executor-side too
+    spark.sparkContext.addPyFile(path)
     spec = importlib.util.spec_from_file_location("builder_r4", path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules["builder_r4"] = mod
@@ -88,13 +93,13 @@ def main():
 
     fast = "/dev/shm" if os.path.isdir("/dev/shm") else None
     workdir = tempfile.mkdtemp(prefix="tfidf_ab_", dir=fast)
-    builder_r4 = load_r4_builder(root, workdir)
 
     spark = get_spark(
         app_name="ab-r4-r5", master=f"local[{cpus}]",
         shuffle_partitions=max(4, cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+    builder_r4 = load_r4_builder(root, workdir, spark)
 
     sides = {"r4": builder_r4, "head": builder_head}
     metrics = ["index_build", "batch50", "batch200_join", "bm25_topk_control"]
@@ -174,13 +179,13 @@ def main():
         "index_digests": digests,
     }
     os.makedirs(os.path.join(root, "BENCH"), exist_ok=True)
-    with open(os.path.join(root, "BENCH", "AB_R4_R5.json"), "w") as f:
+    with open(os.path.join(root, "BENCH", AB_TAG + ".json"), "w") as f:
         json.dump(out, f, indent=2)
 
-    begin, end = "<!-- AB_R4_R5 -->", "<!-- /AB_R4_R5 -->"
+    begin, end = f"<!-- {AB_TAG} -->", f"<!-- /{AB_TAG} -->"
     lines = [
         begin, "",
-        f"## r4-vs-r5 builder A/B ({rounds} interleaved rounds, local[{cpus}], "
+        f"## {AB_TAG}: builder A/B vs {R4_COMMIT} ({rounds} interleaved rounds, local[{cpus}], "
         f"{n_corpus} docs, alternating order, one session)",
         "",
         "Adjudicates VERDICT r5's +32% index_build / +44% batch50 sample drift.",
