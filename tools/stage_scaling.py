@@ -328,21 +328,58 @@ def orchestrate() -> None:
     with open("BENCH/STAGE_SCALING.json", "w") as f:
         json.dump({"runs": runs}, f, indent=2)
 
+    write_report(runs, run)
+
+
+def _norm(composite, alu, bw):
+    """Ceiling-normalized composite: divide by the TIGHTEST ceiling the
+    round's instruments measured (the job cannot beat either the ALU
+    frequency/steal bound or the memory-bandwidth bound). Values > 1
+    mean the pipeline out-scaled the spinner instruments that day —
+    both sample the same weather noisily."""
+    ceils = [c for c in (alu, bw) if c is not None]
+    if composite is None or not ceils:
+        return None
+    return composite / min(ceils)
+
+
+def write_report(runs: list[dict], run: dict) -> None:
+    """Regenerate the STAGE_SCALING block in BENCH/BASELINE.md from the
+    full run history, with `run` as the latest (the criterion holder).
+    Also callable standalone: `python tools/stage_scaling.py --report`
+    re-renders from BENCH/STAGE_SCALING.json without re-running."""
+    results = run["per_stage_ratios"]
+    med = run["median_eff"]
+    composite = run["composite_build_eff"]
+    ceilings = run.get("ceilings") or []
+    bw_ceilings = run.get("bw_ceilings") or []
+    med_ceiling = run.get("median_ceiling")
+    w = run.get("weights", {})
+    tok_w = w.get("tokenize", 0.0)
+    enc_w = w.get("encode", 0.0)
+    resid_w = w.get("residual", 0.0)
+    total_w = tok_w + enc_w + resid_w
+
     rows = "\n".join(
         f"| {s} | {', '.join('%.3f' % x for x in sorted(results[s]))} "
         f"| **{med[s]:.3f}** |"
         for s in STAGES
     )
+
+    def _f(v):
+        return "—" if v is None else "%.3f" % v
+
     def _hist_row(i, r):
         # partial (killed) runs are kept in the history for disclosure
         # but have no medians/composite to format
         if "median_eff" not in r or "composite_build_eff" not in r:
-            return f"| {i} | — | — | — | ({r.get('status', 'partial run')}) |"
-        ceil = r.get("median_ceiling")
+            return f"| {i} | — | — | — | — | — | — | ({r.get('status', 'partial run')}) |"
+        alu, bw = r.get("median_ceiling"), r.get("median_bw_ceiling")
+        comp = r["composite_build_eff"]
         return (
-            f"| {i} | {ceil if ceil is None else '%.3f' % ceil} "
+            f"| {i} | {_f(alu)} | {_f(bw)} "
             f"| {r['median_eff']['tokenize']:.3f} | {r['median_eff']['encode']:.3f} "
-            f"| **{r['composite_build_eff']:.3f}** |"
+            f"| **{comp:.3f}** | {_f(_norm(comp, alu, bw))} | |"
         )
 
     hist_rows = "\n".join(_hist_row(i, r) for i, r in enumerate(runs))
@@ -394,10 +431,20 @@ stage efficiency as a lower bound): {composite:.3f}**
 Stage shares of a full 32-core build wall: tokenize {tok_w:.1f}s,
 encode {enc_w:.1f}s, residual {resid_w:.1f}s (of {total_w:.1f}s total).
 
-### Run history (all attempts, never pruned)
+### Run history (all attempts, never pruned; ceiling-normalized)
 
-| run | median ceiling | tokenize | encode | composite |
-|---|---|---|---|---|
+The CRITERION is the raw composite (primary form, >= 0.8). The
+normalized column (composite / min(ALU, bandwidth ceiling), VERDICT r5
+task #7) is the DIAGNOSTIC form: it separates engine scaling from host
+degradation so a reader can compare runs across weather without
+trusting narrative — e.g. run 1's raw 0.672 under near-nominal ceilings
+is a genuinely weaker measurement than run 4's 0.843 under a 0.815 ALU
+ceiling, and the normalized column says so directly. Runs 0-1 predate
+the bandwidth instrument; run 0 predates both. Values > 1 mean the
+pipeline out-scaled the noisy spinner instruments that round.
+
+| run | ALU ceil | BW ceil | tokenize | encode | composite (raw) | normalized | note |
+|---|---|---|---|---|---|---|---|
 {hist_rows}
 
 Raw samples: BENCH/STAGE_SCALING.json.
@@ -416,11 +463,22 @@ Raw samples: BENCH/STAGE_SCALING.json.
         prev = prev.rstrip() + "\n\n" + block + "\n"
     with open(baseline, "w") as f:
         f.write(prev)
-    print(json.dumps({"median_eff": med, "composite_build_eff": composite}))
+    print(json.dumps(
+        {"median_eff": med, "composite_build_eff": composite}
+    ))
+
+
+def report_only() -> None:
+    with open("BENCH/STAGE_SCALING.json") as f:
+        runs = json.load(f)["runs"]
+    latest = [r for r in runs if "composite_build_eff" in r][-1]
+    write_report(runs, latest)
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+    if len(sys.argv) > 1 and sys.argv[1] == "--report":
+        report_only()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--child":
         child(sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5],
               sys.argv[6], float(sys.argv[7]))
     else:
