@@ -350,3 +350,42 @@ def test_recommitting_same_files_never_overwrites_manifests(spark, tmp_path):
     assert open(manifests1[0]["manifest_path"], "rb").read() == digest1
     ent_s1 = iceberg_meta.snapshot_entries(tbl, snapshot_id=snap1["snapshot-id"])
     assert {d["path"] for d in ent_s1["data"]} == set(paths)
+
+
+# --------------------------------------------------------------------------
+# distributed manifest decode
+# --------------------------------------------------------------------------
+
+def test_distributed_manifest_decode_matches_serial(spark, tmp_path):
+    """70 single-file commits -> 70 manifests in the snapshot; decoding
+    them on executors must yield exactly the serial driver-side result
+    (and the table must still read correctly through the threshold)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "many")
+    files_dir = tmp_path / "many" / "data"  # read_table basePath = data/
+    files_dir.mkdir(parents=True)
+    for i in range(70):
+        p = str(files_dir / f"f{i:03d}.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array([i], pa.int64()),
+                      "content": pa.array([f"row {i}"])}),
+            p,
+        )
+        if i == 0:
+            df = spark.read.parquet(p)
+            iceberg_meta.write_table(df.limit(0), tbl)  # create w/ schema
+        iceberg_meta.commit_append(tbl, [p])
+
+    serial = iceberg_meta.snapshot_entries(tbl)
+    dist = iceberg_meta.snapshot_entries(
+        tbl, spark=spark, distributed_manifest_threshold=2
+    )
+    key = lambda d: d["path"]  # noqa: E731
+    assert sorted(serial["data"], key=key) == sorted(dist["data"], key=key)
+    # 70 single-row commits + the (empty) table-creation data file
+    assert len(dist["data"]) == 71
+    # and a read through the distributed planning path is row-complete
+    got, _ = read_table(spark, tbl)
+    assert got.count() == 70

@@ -163,7 +163,8 @@ def read_table(
     from tfidf_spark.sources import iceberg_meta
 
     ent = iceberg_meta.snapshot_entries(
-        table_dir, snapshot_id=snapshot_id, partition_filter=partition_filter
+        table_dir, snapshot_id=snapshot_id, partition_filter=partition_filter,
+        spark=spark,
     )
     if not ent["data"]:
         raise ValueError(
@@ -322,9 +323,11 @@ def incremental_changes(
     from tfidf_spark.sources import iceberg_meta
 
     ent_from = iceberg_meta.snapshot_entries(
-        table_dir, snapshot_id=from_snapshot_id
+        table_dir, snapshot_id=from_snapshot_id, spark=spark
     )
-    ent_to = iceberg_meta.snapshot_entries(table_dir, snapshot_id=to_snapshot_id)
+    ent_to = iceberg_meta.snapshot_entries(
+        table_dir, snapshot_id=to_snapshot_id, spark=spark
+    )
     data_dir = os.path.join(os.path.abspath(table_dir), "data")
 
     # a REPLACE commit (rewrite_table / compact_table) inside the window

@@ -401,6 +401,8 @@ def snapshot_entries(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    spark=None,
+    distributed_manifest_threshold: int | None = None,
 ) -> dict:
     """Full spec resolution of one snapshot -> ::
 
@@ -417,7 +419,18 @@ def snapshot_entries(
     real Iceberg reader performs, so a filtered scan never opens
     manifests (or lists files) outside the requested partitions. Delete
     files are scoped by sequence number downstream (position: data_seq <=
-    delete_seq; equality: data_seq < delete_seq)."""
+    delete_seq; equality: data_seq < delete_seq).
+
+    When ``spark`` is passed and the (post-pruning) manifest count
+    reaches ``distributed_manifest_threshold`` (default 64, env
+    ``TFIDF_ICEBERG_DISTRIBUTED_MANIFESTS``), the per-manifest Avro
+    decode fans out to executors instead of running serially on the
+    driver — the planning bottleneck at 10^12-file scale, where one
+    snapshot holds tens of thousands of manifests."""
+    if distributed_manifest_threshold is None:
+        distributed_manifest_threshold = int(
+            os.environ.get("TFIDF_ICEBERG_DISTRIBUTED_MANIFESTS", "64")
+        )
     meta = current_metadata(table_dir)
     snap = resolve_snapshot(meta, snapshot_id)
     pfields = partition_fields(meta)
@@ -463,92 +476,134 @@ def snapshot_entries(
         "pos_deletes": [],
         "eq_deletes": [],
     }
-    for mf in manifests:
-        # manifest-level pruning from the field summaries
-        if flt and mf.get("partitions"):
-            skip = False
-            for pf, summary in zip(pfields, mf["partitions"]):
-                want = flt.get(pf["name"])
-                if want is None:
-                    continue
-                lo = _bound_value(summary.get("lower_bound"), pf["iceberg_type"])
-                hi = _bound_value(summary.get("upper_bound"), pf["iceberg_type"])
-                if (
-                    lo is not None
-                    and hi is not None
-                    and not any(lo <= v <= hi for v in want)
-                    and not summary.get("contains_null", False)
-                ):
-                    skip = True
-                    break
-            if skip:
-                continue
-        _, entries = read_container(_strip_file_uri(mf["manifest_path"]))
-        for e in entries:
-            if e["status"] == STATUS_DELETED:
-                continue
-            df = e["data_file"]
-            if df["file_format"].upper() != "PARQUET":
-                raise NotImplementedError(
-                    f"unsupported data file format {df['file_format']!r}"
-                )
-            # the entry's data sequence number: explicit, or inherited
-            # from the manifest that added it (spec inheritance rule)
-            seq = e.get("sequence_number")
-            if seq is None:
-                seq = mf["sequence_number"]
-            content = df.get("content", CONTENT_DATA)
-            path = _strip_file_uri(df["file_path"])
-            # spec: data files live in content=0 manifests, delete files
-            # in content=1 manifests — a mismatch is corrupt metadata
-            if (mf.get("content", 0) != 0) != (content != CONTENT_DATA):
-                raise ValueError(
-                    f"corrupt manifest {mf['manifest_path']}: "
-                    f"manifest content={mf.get('content', 0)} holds a "
-                    f"data_file with content={content}"
-                )
-            if content == CONTENT_DATA:
-                part = df.get("partition") or {}
-                if flt and any(
-                    name in part and part[name] not in want
-                    for name, want in flt.items()
-                ):
-                    continue
-                out["data"].append(
-                    {
-                        "path": path,
-                        "partition": dict(part),
-                        "seq": seq,
-                        "record_count": df.get("record_count", 0),
-                        "schema_id": snap_schema_ids.get(
-                            e.get("snapshot_id"), current_schema_id
-                        ),
-                    }
-                )
-            elif content == CONTENT_POSITION_DELETES:
-                out["pos_deletes"].append(
-                    {
-                        "path": path,
-                        "seq": seq,
-                        "record_count": df.get("record_count", 0),
-                    }
-                )
-            elif content == CONTENT_EQUALITY_DELETES:
-                ids = df.get("equality_ids") or []
-                out["eq_deletes"].append(
-                    {
-                        "path": path,
-                        "seq": seq,
-                        "equality_cols": [id_to_col[i] for i in ids],
-                        "record_count": df.get("record_count", 0),
-                        "schema_id": snap_schema_ids.get(
-                            e.get("snapshot_id"), current_schema_id
-                        ),
-                    }
-                )
-            else:
-                raise NotImplementedError(f"data_file.content={content}")
+    # manifest-level pruning from the field summaries (no IO: the
+    # summaries are in the manifest LIST already in hand)
+    survivors = [
+        mf for mf in manifests if not _manifest_prunable(mf, flt, pfields)
+    ]
+    ctx = (flt, snap_schema_ids, current_schema_id, id_to_col)
+    if (
+        spark is not None
+        and len(survivors) >= distributed_manifest_threshold
+    ):
+        # distributed metadata decode: at 10^12 files a snapshot holds
+        # tens of thousands of manifests — Avro-decoding them serially
+        # on the driver is the planning bottleneck, so ship the decode
+        # to executors (each returns its already-pruned entry dicts; the
+        # driver only merges). Order-insensitive merge: entry semantics
+        # carry their own sequence numbers.
+        sc = spark.sparkContext
+        n_slices = min(len(survivors), 256)
+        decoded = sc.parallelize(survivors, n_slices).map(
+            lambda mf: _decode_manifest(mf, *ctx)
+        ).collect()
+    else:
+        decoded = [_decode_manifest(mf, *ctx) for mf in survivors]
+    for data, pos, eq in decoded:
+        out["data"].extend(data)
+        out["pos_deletes"].extend(pos)
+        out["eq_deletes"].extend(eq)
     return out
+
+
+def _manifest_prunable(mf: dict, flt: dict | None, pfields: list[dict]) -> bool:
+    """True when the manifest list's per-field [lower, upper] summaries
+    prove no file in the manifest can match the filter."""
+    if not flt or not mf.get("partitions"):
+        return False
+    for pf, summary in zip(pfields, mf["partitions"]):
+        want = flt.get(pf["name"])
+        if want is None:
+            continue
+        lo = _bound_value(summary.get("lower_bound"), pf["iceberg_type"])
+        hi = _bound_value(summary.get("upper_bound"), pf["iceberg_type"])
+        if (
+            lo is not None
+            and hi is not None
+            and not any(lo <= v <= hi for v in want)
+            and not summary.get("contains_null", False)
+        ):
+            return True
+    return False
+
+
+def _decode_manifest(
+    mf: dict,
+    flt: dict | None,
+    snap_schema_ids: dict,
+    current_schema_id: int,
+    id_to_col: dict,
+) -> tuple[list, list, list]:
+    """Decode ONE manifest -> (data, pos_deletes, eq_deletes) entry
+    lists, file-level-pruned. Module-level and driver-state-free so the
+    distributed path can run it on executors (manifest paths must be on
+    storage all nodes see, as Iceberg metadata always is)."""
+    data: list = []
+    pos: list = []
+    eq: list = []
+    _, entries = read_container(_strip_file_uri(mf["manifest_path"]))
+    for e in entries:
+        if e["status"] == STATUS_DELETED:
+            continue
+        df = e["data_file"]
+        if df["file_format"].upper() != "PARQUET":
+            raise NotImplementedError(
+                f"unsupported data file format {df['file_format']!r}"
+            )
+        # the entry's data sequence number: explicit, or inherited
+        # from the manifest that added it (spec inheritance rule)
+        seq = e.get("sequence_number")
+        if seq is None:
+            seq = mf["sequence_number"]
+        content = df.get("content", CONTENT_DATA)
+        path = _strip_file_uri(df["file_path"])
+        # spec: data files live in content=0 manifests, delete files
+        # in content=1 manifests — a mismatch is corrupt metadata
+        if (mf.get("content", 0) != 0) != (content != CONTENT_DATA):
+            raise ValueError(
+                f"corrupt manifest {mf['manifest_path']}: "
+                f"manifest content={mf.get('content', 0)} holds a "
+                f"data_file with content={content}"
+            )
+        schema_id = snap_schema_ids.get(e.get("snapshot_id"), current_schema_id)
+        if content == CONTENT_DATA:
+            part = df.get("partition") or {}
+            if flt and any(
+                name in part and part[name] not in want
+                for name, want in flt.items()
+            ):
+                continue
+            data.append(
+                {
+                    "path": path,
+                    "partition": dict(part),
+                    "seq": seq,
+                    "record_count": df.get("record_count", 0),
+                    "schema_id": schema_id,
+                }
+            )
+        elif content == CONTENT_POSITION_DELETES:
+            pos.append(
+                {
+                    "path": path,
+                    "seq": seq,
+                    "record_count": df.get("record_count", 0),
+                }
+            )
+        elif content == CONTENT_EQUALITY_DELETES:
+            ids = df.get("equality_ids") or []
+            eq.append(
+                {
+                    "path": path,
+                    "seq": seq,
+                    "equality_cols": [id_to_col[i] for i in ids],
+                    "record_count": df.get("record_count", 0),
+                    "schema_id": schema_id,
+                }
+            )
+        else:
+            raise NotImplementedError(f"data_file.content={content}")
+    return data, pos, eq
 
 
 def live_data_files(
