@@ -69,9 +69,11 @@ def test_parse_partition_by():
     assert T.parse_partition_by("bucket(4, repo)") == ("repo", "bucket", 4)
     assert T.parse_partition_by("truncate(3, path)") == ("path", "truncate", 3)
     assert T.parse_partition_by("days(ts)") == ("ts", "days", None)
+    assert T.parse_partition_by("year(ts)") == ("ts", "years", None)
+    assert T.parse_partition_by("hours(ts)") == ("ts", "hours", None)
     assert T.parse_partition_by("lang") == ("lang", "identity", None)
     with pytest.raises(ValueError):
-        T.parse_partition_by("year(ts)")
+        T.parse_partition_by("void(ts)")
 
 
 # --------------------------------------------------------------------------
@@ -389,3 +391,56 @@ def test_distributed_manifest_decode_matches_serial(spark, tmp_path):
     # and a read through the distributed planning path is row-complete
     got, _ = read_table(spark, tbl)
     assert got.count() == 70
+
+
+# --------------------------------------------------------------------------
+# year / month / hour transforms (round 6 follow-up)
+# --------------------------------------------------------------------------
+
+def test_time_transform_values():
+    import datetime as dt
+
+    v = dt.datetime(2024, 3, 15, 7, 30)
+    assert T.transform_value("years", None, v, "timestamp") == 54
+    assert T.transform_value("months", None, v, "timestamp") == 650
+    assert T.transform_value("days", None, v, "timestamp") == 19797
+    assert T.transform_value("hours", None, v, "timestamp") == 475135
+    assert T.parse_transform("month") == ("months", None)
+    assert T.transform_str("months", None) == "month"  # spec JSON form
+    assert T.default_field_name("hours", None, "ts") == "ts_hour"
+
+
+def test_month_partitioning_roundtrip(spark, tmp_path):
+    tbl = str(tmp_path / "mtbl")
+    df = spark.range(0, 8).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "timestamp'2024-01-15 06:00:00' + make_interval(0, cast(id as int), 0,0,0,0,0)"
+        ).alias("ts"),
+        F.concat(F.lit("c"), F.col("id")).alias("content"),
+    )
+    iceberg_meta.write_table(df, tbl, partition_by=["month(ts)"])
+    ent = iceberg_meta.snapshot_entries(tbl)
+    months = sorted({d["partition"]["ts_month"] for d in ent["data"]})
+    assert months == list(range(648, 656))  # 2024-01 .. 2024-08
+    # prune by a source timestamp value (driver transform == executor's)
+    got, _ = read_table(spark, tbl, partition_filter={"ts": "2024-04-15 06:00:00"})
+    assert got.count() == 1 and got.collect()[0]["doc_id"] == 3
+
+
+def test_murmur3_vectorized_property():
+    """Property: the numpy-vectorized long hash equals the scalar
+    byte-path for arbitrary int64 values (hypothesis)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=50))
+    def prop(vals):
+        arr = np.array(vals, dtype=np.int64)
+        vec = T._murmur3_32_long_vec(arr)
+        for v, h in zip(vals, vec):
+            assert T.murmur3_32(struct.pack("<q", v)) == int(h)
+
+    prop()

@@ -353,3 +353,47 @@ def test_incremental_changes_feed_index_maintenance(spark, tmp_path):
     iceberg_meta.commit_equality_deletes(tbl, [{"lang": "l0"}], ["lang"])
     with pytest.raises(NotImplementedError, match="equality"):
         incremental_changes(spark, tbl, s4)
+
+
+def test_eq_delete_cdc_feeds_index_maintenance(spark, tmp_path):
+    """The round-6 extension of the loop above: the delete flavor
+    compaction itself writes (equality deletes) also feeds index
+    maintenance — scan_eq_deletes=True turns the in-window eq commit
+    into row images, delete_docs tombstones them, and the merged index
+    stops serving the eq-deleted docs."""
+    from tfidf_spark.index.builder import build_index, load_index
+    from tfidf_spark.index.incremental import compact_index, delete_docs
+    from tfidf_spark.index.query import bm25_query_terms
+    from tfidf_spark.sources.catalog import incremental_changes
+
+    tbl = str(tmp_path / "cdceq")
+    s1 = iceberg_meta.write_table(_df(spark, 0, 60), tbl, partition_by=["lang"])
+    base, fp1 = load_corpus(spark, tbl, fmt="iceberg", snapshot_id=s1)
+    idx0 = str(tmp_path / "eq_i0")
+    build_index(base, idx0, n_shards=4, source_snapshot=fp1)
+
+    iceberg_meta.write_table(_df(spark, 100, 120), tbl)  # append in window
+    iceberg_meta.commit_equality_deletes(tbl, [{"lang": "l1"}], ["lang"])
+
+    appended, deleted, _ = incremental_changes(
+        spark, tbl, s1, scan_eq_deletes=True
+    )
+    app_ids = {r["doc_id"] for r in appended.select("doc_id").collect()}
+    del_ids = {r["doc_id"] for r in deleted.select("doc_id").collect()}
+    assert app_ids == {i for i in range(100, 120) if i % 3 != 1}
+    assert del_ids == {i for i in range(60) if i % 3 == 1}
+
+    idx1 = str(tmp_path / "eq_i1")
+    compact_index(load_index(spark, idx0), appended, idx1, force=True)
+    merged = load_index(spark, idx1)
+    delete_docs(merged, sorted(del_ids))
+    merged = load_index(spark, idx1)
+    hits = {
+        r["doc_id"]
+        for r in bm25_query_terms(merged, ["def", "return"], k=500).collect()
+    }
+    assert not (hits & del_ids)
+    assert hits & app_ids
+    # the index's live view now matches the table's live view
+    live, _ = read_table(spark, tbl)
+    assert {r["doc_id"] for r in live.select("doc_id").collect()} == hits

@@ -124,6 +124,33 @@ def _read_eq_keys(spark: SparkSession, ent: dict, e: dict) -> DataFrame:
     return d.select(*e["equality_cols"])
 
 
+def _exact_partition_row_filter(
+    df: DataFrame, ent: dict, partition_filter: dict | None
+) -> DataFrame:
+    """Partition pruning through a TRANSFORMED spec (bucket/truncate/
+    time) is a superset — the bucket holds every value hashing to it. A
+    filter keyed by a SOURCE column is therefore also applied as an
+    exact row predicate (typed, pushed down to the parquet scan), so
+    ``read_table(partition_filter={"repo": "x"})`` returns exactly
+    repo x on ANY spec. Filters keyed by a derived field name
+    (``repo_bucket``) stay layout-level by design."""
+    if not partition_filter:
+        return df
+    from tfidf_spark.sources.iceberg_meta import _coerce
+
+    types = {
+        pf["source_name"]: pf["source_type"] for pf in ent["partition_fields"]
+    }
+    for col, vals in partition_filter.items():
+        if col in types and col in df.columns:
+            if not isinstance(vals, (list, tuple, set, frozenset)):
+                vals = [vals]
+            df = df.filter(
+                F.col(col).isin([_coerce(v, types[col]) for v in vals])
+            )
+    return df
+
+
 def _drop_derived_partition_cols(df: DataFrame, pfields: list[dict]) -> DataFrame:
     """Spark's basePath partition discovery reconstructs EVERY hive dir
     as a column — for identity fields that is the round-trip we want
@@ -145,11 +172,16 @@ def read_table(
     """Read a pure-Python-format Iceberg table -> (df, resolved snapshot
     id), with the full spec read path:
 
-    - **partition pruning**: ``partition_filter`` ({col: value-or-list})
-      prunes manifests via their field summaries and files via their
-      partition tuples BEFORE Spark ever lists them (identity spec);
-      hive-style data layout + ``basePath`` lets Spark reconstruct the
-      partition columns, so the scan's schema matches the written frame.
+    - **partition pruning**: ``partition_filter`` ({source_col:
+      value-or-list}) is coerced to the source type, pushed through the
+      spec's transforms (identity, bucket, truncate, time) and prunes
+      manifests via their field summaries and files via their partition
+      tuples BEFORE Spark ever lists them. Because transformed pruning
+      is a superset (a bucket holds every value hashing to it), the same
+      filter is also applied as an exact typed row predicate on source
+      columns — the result is exact on ANY spec. Hive layout +
+      ``basePath`` reconstructs identity partition columns; derived
+      transform columns are layout-only and dropped.
     - **merge-on-read deletes**: position-delete files are applied by
       anti-joining ``(_metadata.file_path, _metadata.row_index)`` —
       Spark's per-file row position, exactly the spec's ``pos`` — scoped
@@ -174,9 +206,13 @@ def read_table(
     data_dir = os.path.join(os.path.abspath(table_dir), "data")
     pos, eq = ent["pos_deletes"], ent["eq_deletes"]
     with_meta = bool(pos or eq or _with_position)
-    df = _drop_derived_partition_cols(
-        _scan_entries(spark, data_dir, ent, ent["data"], with_meta=with_meta),
-        ent["partition_fields"],
+    df = _exact_partition_row_filter(
+        _drop_derived_partition_cols(
+            _scan_entries(spark, data_dir, ent, ent["data"], with_meta=with_meta),
+            ent["partition_fields"],
+        ),
+        ent,
+        partition_filter,
     )
     if not pos and not eq:
         return df, ent["snapshot_id"]
@@ -504,8 +540,9 @@ def load_corpus(
 ) -> tuple[DataFrame, str]:
     """Load the corpus; returns (df, fingerprint).
 
-    fmt: 'parquet' | 'iceberg' | 'auto' (iceberg when `source` has no
-    path separator and a catalog resolves it). The fingerprint feeds
+    fmt: 'parquet' | 'iceberg' | 'jsonl' | 'csv' | 'orc' | 'auto'
+    (iceberg when `source` has no path separator and a catalog resolves
+    it). The fingerprint feeds
     build_index(source_snapshot=...): Iceberg's snapshot id when pinned,
     else the source string (parquet dirs are assumed immutable-per-path —
     version the path, as every lakehouse layout does).
@@ -560,7 +597,25 @@ def load_corpus(
         return df, fp
     if partition_filter:
         raise ValueError("partition_filter requires an Iceberg source")
-    return spark.read.parquet(source), f"parquet:{source}"
+    if fmt == "parquet":
+        return spark.read.parquet(source), f"parquet:{source}"
+    # raw-dump ingestion formats a training-data pipeline meets before
+    # anything is table-formatted. All three scan distributed with
+    # column pruning; predicate pushdown applies to ORC (columnar), while
+    # JSONL/CSV are row formats whose scan cost is the parse itself —
+    # land them in parquet/Iceberg once, then index from that.
+    if fmt == "jsonl":
+        # newline-delimited JSON, the common crawl/dump interchange form
+        return spark.read.json(source), f"jsonl:{source}"
+    if fmt == "csv":
+        return (
+            spark.read.options(header=True, inferSchema=True,
+                               escape='"', multiLine=True).csv(source),
+            f"csv:{source}",
+        )
+    if fmt == "orc":
+        return spark.read.orc(source), f"orc:{source}"
+    raise ValueError(f"unknown corpus format {fmt!r}")
 
 
 def write_table(

@@ -142,12 +142,20 @@ _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
 _TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
 
 
+_TIME_KINDS = {
+    "day": "days", "days": "days",
+    "year": "years", "years": "years",
+    "month": "months", "months": "months",
+    "hour": "hours", "hours": "hours",
+}
+
+
 def parse_transform(txt: str) -> tuple[str, int | None]:
     """Iceberg JSON transform string -> (kind, param)."""
     if txt == "identity":
         return "identity", None
-    if txt == "days" or txt == "day":
-        return "days", None
+    if txt in _TIME_KINDS:
+        return _TIME_KINDS[txt], None
     m = _BUCKET_RE.match(txt)
     if m:
         return "bucket", int(m.group(1))
@@ -155,15 +163,19 @@ def parse_transform(txt: str) -> tuple[str, int | None]:
     if m:
         return "truncate", int(m.group(1))
     raise NotImplementedError(
-        f"partition transform {txt!r} (identity/bucket[N]/truncate[W]/days)"
+        f"partition transform {txt!r} "
+        "(identity/bucket[N]/truncate[W]/years/months/days/hours)"
     )
+
+
+_TIME_SINGULAR = {"years": "year", "months": "month", "days": "day", "hours": "hour"}
 
 
 def transform_str(kind: str, param: int | None) -> str:
     if kind == "identity":
         return "identity"
-    if kind == "days":
-        return "days"
+    if kind in _TIME_SINGULAR:
+        return _TIME_SINGULAR[kind]  # spec JSON serializes the singular form
     return f"{kind}[{param}]"
 
 
@@ -175,8 +187,8 @@ def default_field_name(kind: str, param: int | None, source: str) -> str:
         return f"{source}_bucket"
     if kind == "truncate":
         return f"{source}_trunc"
-    if kind == "days":
-        return f"{source}_day"
+    if kind in _TIME_SINGULAR:
+        return f"{source}_{_TIME_SINGULAR[kind]}"
     raise NotImplementedError(kind)
 
 
@@ -188,8 +200,8 @@ def result_type(kind: str, source_type: str) -> str:
         return "int"
     if kind == "truncate":
         return source_type
-    if kind == "days":
-        return "int"  # days from epoch (spec result type `date`)
+    if kind in _TIME_SINGULAR:
+        return "int"  # ordinals from epoch (spec result types date/int)
     raise NotImplementedError(kind)
 
 
@@ -210,14 +222,23 @@ def transform_value(kind: str, param: int | None, v, source_type: str):
         if source_type == "string":
             return str(v)[:param]
         raise NotImplementedError(f"truncate over {source_type!r}")
-    if kind == "days":
+    if kind in _TIME_SINGULAR:
         import datetime as _dt
 
         if isinstance(v, _dt.datetime):
-            return (v.date() - _dt.date(1970, 1, 1)).days
-        if isinstance(v, _dt.date):
-            return (v - _dt.date(1970, 1, 1)).days
-        raise NotImplementedError(f"days over {type(v).__name__}")
+            d, hh = v.date(), v.hour
+        elif isinstance(v, _dt.date):
+            d, hh = v, 0
+        else:
+            raise NotImplementedError(f"{kind} over {type(v).__name__}")
+        if kind == "years":
+            return d.year - 1970
+        if kind == "months":
+            return (d.year - 1970) * 12 + (d.month - 1)
+        epoch_days = (d - _dt.date(1970, 1, 1)).days
+        if kind == "days":
+            return epoch_days
+        return epoch_days * 24 + hh  # hours
     raise NotImplementedError(kind)
 
 
@@ -238,8 +259,21 @@ def transform_column(kind: str, param: int | None, source: str, source_type: str
         if source_type == "string":
             return F.substring(F.col(source), 1, param)
         raise NotImplementedError(f"truncate over {source_type!r}")
-    if kind == "days":
-        return F.datediff(F.col(source).cast("date"), F.lit("1970-01-01")).cast("int")
+    if kind in _TIME_SINGULAR:
+        # composed from calendar fields, never session-timezone epoch
+        # math, so TIMESTAMP_NTZ sources transform identically on any
+        # cluster TZ (and identically to the driver-side transform_value)
+        if kind == "years":
+            return (F.year(source) - F.lit(1970)).cast("int")
+        if kind == "months":
+            return (
+                (F.year(source) - F.lit(1970)) * F.lit(12)
+                + F.month(source) - F.lit(1)
+            ).cast("int")
+        epoch_days = F.datediff(F.col(source).cast("date"), F.lit("1970-01-01"))
+        if kind == "days":
+            return epoch_days.cast("int")
+        return (epoch_days * F.lit(24) + F.hour(source)).cast("int")  # hours
     if kind == "bucket":
         from pyspark.sql.functions import pandas_udf
 
@@ -266,9 +300,9 @@ def parse_partition_by(spec: str) -> tuple[str, str, int | None]:
     m = re.match(r"^truncate\(\s*(\d+)\s*,\s*(\w+)\s*\)$", spec)
     if m:
         return m.group(2), "truncate", int(m.group(1))
-    m = re.match(r"^days?\(\s*(\w+)\s*\)$", spec)
+    m = re.match(r"^(years?|months?|days?|hours?)\(\s*(\w+)\s*\)$", spec)
     if m:
-        return m.group(1), "days", None
+        return m.group(2), _TIME_KINDS[m.group(1)], None
     if re.match(r"^\w+$", spec):
         return spec, "identity", None
     raise ValueError(f"unparseable partition_by element {spec!r}")

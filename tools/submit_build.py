@@ -49,9 +49,12 @@ def main() -> None:
         "--partition-filter",
         default=None,
         metavar="COL=V1[,V2...][;COL2=...]",
-        help="Iceberg identity-partition scope (collection scoping): "
-        "prunes manifests and files before the scan, e.g. "
-        "'lang=py,go;repo=torvalds/linux'",
+        help="Iceberg partition scope (collection scoping), keyed by "
+        "SOURCE column: values are coerced to the column type and pushed "
+        "through the spec's transforms (identity, bucket, truncate, "
+        "time), pruning manifests and files before the scan, e.g. "
+        "'lang=py,go;repo=torvalds/linux' — works unchanged on a "
+        "bucket(N, repo)-partitioned table",
     )
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
