@@ -251,6 +251,14 @@ def test_avro_container_roundtrip(tmp_path):
                 "partition": {},
                 "record_count": rc,
                 "file_size_in_bytes": 1 << i,
+                # r6: per-column bound maps (k/v record arrays, spec
+                # 125/128) — exercise both the null and populated branch
+                "lower_bounds": (
+                    None if i != 2 else [{"key": 6, "value": b"\x01" * 8}]
+                ),
+                "upper_bounds": (
+                    None if i != 2 else [{"key": 6, "value": b"\x7f" * 8}]
+                ),
                 "equality_ids": None,
                 "sort_order_id": None,
             },

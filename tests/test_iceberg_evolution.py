@@ -444,3 +444,77 @@ def test_murmur3_vectorized_property():
             assert T.murmur3_32(struct.pack("<q", v)) == int(h)
 
     prop()
+
+
+# --------------------------------------------------------------------------
+# column bounds (zone maps) + sort_by clustering
+# --------------------------------------------------------------------------
+
+def test_column_bounds_written_and_prune_files(spark, tmp_path):
+    """sort_by-clustered write -> tight per-file [min,max] doc_id bounds
+    in the manifests (spec 125/128) -> range_filter skips files without
+    opening them, and the read is row-exact."""
+    tbl = str(tmp_path / "zm")
+    iceberg_meta.write_table(
+        _df(spark, 0, 400), tbl, sort_by=["doc_id"], sort_buckets=8
+    )
+    ent_all = iceberg_meta.snapshot_entries(tbl)
+    assert len(ent_all["data"]) > 3  # clustered into multiple files
+
+    ent = iceberg_meta.snapshot_entries(tbl, range_filter={"doc_id": (100, 199)})
+    assert 0 < len(ent["data"]) < len(ent_all["data"])  # file-skip
+
+    got, _ = read_table(spark, tbl, range_filter={"doc_id": (100, 199)})
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(100, 200))
+    # open-ended ranges
+    lo_only, _ = read_table(spark, tbl, range_filter={"doc_id": (350, None)})
+    assert lo_only.count() == 50
+    with pytest.raises(ValueError, match="unknown columns"):
+        iceberg_meta.snapshot_entries(tbl, range_filter={"nope": (0, 1)})
+
+
+def test_bounds_decode_match_file_contents(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "zb")
+    iceberg_meta.write_table(
+        _df(spark, 0, 120), tbl, sort_by=["doc_id"], sort_buckets=4
+    )
+    ent = iceberg_meta.snapshot_entries(tbl)
+    meta = iceberg_meta.current_metadata(tbl)
+    snap = iceberg_meta.resolve_snapshot(meta)
+    from tfidf_spark.sources.avro import read_container
+
+    _, manifests = read_container(
+        iceberg_meta._strip_file_uri(snap["manifest-list"])
+    )
+    _, entries = read_container(
+        iceberg_meta._strip_file_uri(manifests[0]["manifest_path"])
+    )
+    fid = 6  # doc_id is the 6th column of _df (1-based field ids)
+    for e in entries:
+        df = e["data_file"]
+        lo = {kv["key"]: kv["value"] for kv in (df.get("lower_bounds") or [])}
+        hi = {kv["key"]: kv["value"] for kv in (df.get("upper_bounds") or [])}
+        if fid not in lo:
+            continue
+        tb = pq.read_table(df["file_path"], columns=["doc_id"])
+        ids = tb.column("doc_id").to_pylist()
+        assert iceberg_meta._bound_value(lo[fid], "long") == min(ids)
+        assert iceberg_meta._bound_value(hi[fid], "long") == max(ids)
+
+
+def test_range_filter_composes_with_partitions_and_deletes(spark, tmp_path):
+    tbl = str(tmp_path / "zc")
+    iceberg_meta.write_table(
+        _df(spark, 0, 200), tbl, partition_by=["lang"], sort_by=["doc_id"],
+        sort_buckets=4
+    )
+    catalog.delete_where(spark, tbl, F.col("doc_id") % 10 == 5)
+    got, _ = read_table(
+        spark, tbl,
+        partition_filter={"lang": "l1"},
+        range_filter={"doc_id": (50, 149)},
+    )
+    want = [i for i in range(50, 150) if i % 3 == 1 and i % 10 != 5]
+    assert sorted(r["doc_id"] for r in got.collect()) == want

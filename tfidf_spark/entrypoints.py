@@ -964,6 +964,41 @@ def q_raw_formats_roundtrip(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def q_iceberg_minmax_prune(spark, sf_dir):
+    """Zone-map file skipping, driver-gated (round 6): documents written
+    sort_by=doc_id so each data file carries tight [min, max] doc_id
+    bounds in its manifest entry (spec fields 125/128, computed from the
+    parquet footers at commit — no data scan), then read with a
+    range_filter that prunes files on those bounds BEFORE opening them
+    and re-applies the range as an exact row predicate. A file-skip
+    assert pins that pruning really skipped files; hash-matching the
+    oracle's BETWEEN proves the zone maps lose and duplicate nothing."""
+    import shutil
+    import tempfile
+
+    from tfidf_spark.sources import iceberg_meta
+    from tfidf_spark.sources.catalog import read_table
+
+    docs = _t(spark, sf_dir, "documents")
+    tbl = tempfile.mkdtemp(prefix="iceberg_zm_")
+    shutil.rmtree(tbl)
+    try:
+        iceberg_meta.write_table(docs, tbl, sort_by=["doc_id"], sort_buckets=8)
+        rng = {"doc_id": (100, 299)}
+        n_all = len(iceberg_meta.snapshot_entries(tbl)["data"])
+        ent = iceberg_meta.snapshot_entries(tbl, range_filter=rng)
+        assert 0 < len(ent["data"]) < n_all, "zone maps skipped no files"
+        df, _ = read_table(spark, tbl, range_filter=rng)
+        return (
+            df.select(
+                "doc_id",
+                F.sha2("text", 256).alias("content_sha"),
+            ).localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tbl, ignore_errors=True)
+
+
 def q_iceberg_bucket_prune(spark, sf_dir):
     """Non-identity partition transforms, driver-gated (round 6, VERDICT
     r5 missing #1): documents written under a TWO-FIELD transformed spec
@@ -1106,7 +1141,7 @@ QUERIES = {
     "union_dedup": q_union_dedup,
     "scan_filter_project": q_scan_filter_project,
     "pagination": q_pagination,
-    "events_hourly": q_events_hourly,
+
     "events_sliding_24h": q_events_sliding_24h,
     "events_sessions": q_events_sessions,
     "clicks_asof_purchase": q_clicks_asof_purchase,
@@ -1122,6 +1157,7 @@ QUERIES = {
     # new r6: transformed partition specs + eq-delete CDC row images +
     # raw ingestion formats
     "iceberg_bucket_prune": q_iceberg_bucket_prune,
+    "iceberg_minmax_prune": q_iceberg_minmax_prune,
     "iceberg_cdc_eq": q_iceberg_cdc_eq,
     "raw_formats_roundtrip": q_raw_formats_roundtrip,
     "rls_scoped_docs": q_rls_scoped_docs,
@@ -1135,6 +1171,7 @@ QUERIES = {
     # new Iceberg gates. Rotate back in r7. See COVERAGE.md.
     "lineitem_agg": q_lineitem_agg,
     "lineitem_rollup": q_lineitem_rollup,
+    "events_hourly": q_events_hourly,
     "revenue_topk": q_revenue_topk,
     "customers_without_orders": q_customers_without_orders,
     "top3_orders_per_customer": q_top3_orders_per_customer,
@@ -1633,6 +1670,9 @@ ORACLES = {
         SELECT f.fmt, d.doc_id, sha256(d.text) AS content_sha
         FROM documents d
         CROSS JOIN (SELECT unnest(['jsonl', 'csv', 'orc']) AS fmt) f""",
+    "iceberg_minmax_prune": """
+        SELECT doc_id, sha256(text) AS content_sha
+        FROM documents WHERE doc_id BETWEEN 100 AND 299""",
     "iceberg_bucket_prune": """
         SELECT doc_id, sha256(text) AS content_sha, lang, source
         FROM documents WHERE lang IN ('en', 'zh') AND source = 'src18'""",

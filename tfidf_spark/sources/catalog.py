@@ -167,6 +167,7 @@ def read_table(
     table_dir: str,
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
+    range_filter: dict | None = None,
     _with_position: bool = False,
 ) -> tuple[DataFrame, int]:
     """Read a pure-Python-format Iceberg table -> (df, resolved snapshot
@@ -182,6 +183,12 @@ def read_table(
       columns — the result is exact on ANY spec. Hive layout +
       ``basePath`` reconstructs identity partition columns; derived
       transform columns are layout-only and dropped.
+    - **zone-map pruning**: ``range_filter`` ({col: (lo, hi)},
+      inclusive, None = open) skips whole files via the manifests'
+      per-column value bounds (spec fields 125/128, written from
+      parquet footer stats at commit), then applies the same ranges as
+      exact row predicates. Most effective on ``write_table(...,
+      sort_by=[col])`` tables, whose files carry tight disjoint bounds.
     - **merge-on-read deletes**: position-delete files are applied by
       anti-joining ``(_metadata.file_path, _metadata.row_index)`` —
       Spark's per-file row position, exactly the spec's ``pos`` — scoped
@@ -196,7 +203,7 @@ def read_table(
 
     ent = iceberg_meta.snapshot_entries(
         table_dir, snapshot_id=snapshot_id, partition_filter=partition_filter,
-        spark=spark,
+        spark=spark, range_filter=range_filter,
     )
     if not ent["data"]:
         raise ValueError(
@@ -214,6 +221,14 @@ def read_table(
         ent,
         partition_filter,
     )
+    # zone-map pruning skips whole files; the same ranges are applied as
+    # row predicates (pushed to the parquet scan) for exact results
+    for col, (lo, hi) in (range_filter or {}).items():
+        if col in df.columns:
+            if lo is not None:
+                df = df.filter(F.col(col) >= lo)
+            if hi is not None:
+                df = df.filter(F.col(col) <= hi)
     if not pos and not eq:
         return df, ent["snapshot_id"]
     # per-file data sequence numbers (metadata-sized -> broadcast);

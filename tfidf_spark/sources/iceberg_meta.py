@@ -94,6 +94,47 @@ def _data_file_schema(part_fields: list[dict]) -> dict:
             },
             {"name": "record_count", "type": "long", "field-id": 103},
             {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            # per-column value bounds (spec fields 125/128: map<field-id,
+            # binary> encoded as k/v record arrays) — the zone maps that
+            # let a reader skip files on non-partition predicates
+            {
+                "name": "lower_bounds",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "k126_v127",
+                            "fields": [
+                                {"name": "key", "type": "int", "field-id": 126},
+                                {"name": "value", "type": "bytes", "field-id": 127},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": [
+                    "null",
+                    {
+                        "type": "array",
+                        "items": {
+                            "type": "record",
+                            "name": "k129_v130",
+                            "fields": [
+                                {"name": "key", "type": "int", "field-id": 129},
+                                {"name": "value", "type": "bytes", "field-id": 130},
+                            ],
+                        },
+                    },
+                ],
+                "default": None,
+                "field-id": 128,
+            },
             {
                 "name": "equality_ids",
                 "type": ["null", {"type": "array", "items": "int"}],
@@ -403,6 +444,7 @@ def snapshot_entries(
     partition_filter: dict | None = None,
     spark=None,
     distributed_manifest_threshold: int | None = None,
+    range_filter: dict | None = None,
 ) -> dict:
     """Full spec resolution of one snapshot -> ::
 
@@ -420,6 +462,15 @@ def snapshot_entries(
     manifests (or lists files) outside the requested partitions. Delete
     files are scoped by sequence number downstream (position: data_seq <=
     delete_seq; equality: data_seq < delete_seq).
+
+    ``range_filter`` ({col: (lo, hi)}, inclusive, None endpoint = open)
+    prunes files on the manifests' per-COLUMN value bounds (spec fields
+    125/128 — the zone maps): a file whose recorded [min, max] for the
+    column cannot intersect the requested range is skipped without
+    opening it. Bounds are written from parquet footer statistics at
+    commit time for numeric/boolean/temporal columns; files without
+    bounds are never pruned (always safe). Values are coerced to the
+    column's type, so CLI strings work.
 
     When ``spark`` is passed and the (post-pruning) manifest count
     reaches ``distributed_manifest_threshold`` (default 64, env
@@ -481,7 +532,31 @@ def snapshot_entries(
     survivors = [
         mf for mf in manifests if not _manifest_prunable(mf, flt, pfields)
     ]
-    ctx = (flt, snap_schema_ids, current_schema_id, id_to_col)
+    # normalize the range filter to (field_id, iceberg_type, lo, hi)
+    # tuples under the CURRENT schema (values coerced to the column type)
+    rng = None
+    if range_filter:
+        cur = next(
+            s
+            for s in meta.get("schemas", [])
+            if s.get("schema-id", 0) == current_schema_id
+        )
+        by_name = {f["name"]: f for f in cur["fields"]}
+        unknown = sorted(set(range_filter) - set(by_name))
+        if unknown:
+            raise ValueError(f"range filter on unknown columns: {unknown}")
+        rng = []
+        for col, (lo, hi) in range_filter.items():
+            f = by_name[col]
+            rng.append(
+                (
+                    f["id"],
+                    f["type"],
+                    None if lo is None else _coerce(lo, f["type"]),
+                    None if hi is None else _coerce(hi, f["type"]),
+                )
+            )
+    ctx = (flt, snap_schema_ids, current_schema_id, id_to_col, rng)
     if (
         spark is not None
         and len(survivors) >= distributed_manifest_threshold
@@ -527,12 +602,30 @@ def _manifest_prunable(mf: dict, flt: dict | None, pfields: list[dict]) -> bool:
     return False
 
 
+def _range_prunable(df: dict, rng: list | None) -> bool:
+    """True when the data file's column bounds (spec 125/128) prove no
+    row can satisfy the range filter. Missing bounds never prune."""
+    if not rng:
+        return False
+    lo_map = {e["key"]: e["value"] for e in (df.get("lower_bounds") or [])}
+    hi_map = {e["key"]: e["value"] for e in (df.get("upper_bounds") or [])}
+    for fid, typ, lo, hi in rng:
+        if fid not in lo_map or fid not in hi_map:
+            continue
+        blo = _bound_value(lo_map[fid], typ)
+        bhi = _bound_value(hi_map[fid], typ)
+        if (hi is not None and blo > hi) or (lo is not None and bhi < lo):
+            return True
+    return False
+
+
 def _decode_manifest(
     mf: dict,
     flt: dict | None,
     snap_schema_ids: dict,
     current_schema_id: int,
     id_to_col: dict,
+    rng: list | None = None,
 ) -> tuple[list, list, list]:
     """Decode ONE manifest -> (data, pos_deletes, eq_deletes) entry
     lists, file-level-pruned. Module-level and driver-state-free so the
@@ -572,6 +665,8 @@ def _decode_manifest(
                 name in part and part[name] not in want
                 for name, want in flt.items()
             ):
+                continue
+            if _range_prunable(df, rng):
                 continue
             data.append(
                 {
@@ -709,6 +804,54 @@ def _field_summaries(
     return out
 
 
+# column bounds are emitted only for these types: parquet writers may
+# TRUNCATE string/binary statistics, and a truncated upper bound is not
+# a valid upper bound without byte-increment repair — numeric stats are
+# always exact
+_BOUNDED_TYPES = {"int", "long", "double", "float", "boolean", "date", "timestamp"}
+
+
+def _parquet_column_bounds(path: str, bound_cols: dict) -> tuple[dict, dict]:
+    """Aggregate per-column [min, max] across a parquet file's row-group
+    footer statistics (no data scan) -> ({field_id: bytes}, ...) in the
+    spec's single-value binary serialization. Columns without complete
+    stats are skipped (absent bounds = never prunable, always safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    complete: set = set()
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if name not in bound_cols:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                complete.add(name)  # poisoned: at least one group lacks stats
+                continue
+            if name in complete:
+                continue
+            mins[name] = st.min if name not in mins else min(mins[name], st.min)
+            maxs[name] = st.max if name not in maxs else max(maxs[name], st.max)
+    lo_out: dict = {}
+    hi_out: dict = {}
+    for name, v in mins.items():
+        fid, typ = bound_cols[name]
+        try:
+            lo_out[fid] = _bound_bytes(v, typ)
+            hi_out[fid] = _bound_bytes(maxs[name], typ)
+        except (NotImplementedError, ValueError, TypeError):
+            lo_out.pop(fid, None)
+            hi_out.pop(fid, None)
+    return lo_out, hi_out
+
+
 def _write_manifest(
     md: str,
     files: list,
@@ -717,6 +860,7 @@ def _write_manifest(
     pfields: list[dict] | None = None,
     content: int = CONTENT_DATA,
     equality_ids: list[int] | None = None,
+    bound_cols: dict | None = None,
 ) -> dict:
     """Write one manifest for ``files`` — each a path or a
     ``(path, partition_dict)`` pair — and return its manifest_file record
@@ -728,6 +872,12 @@ def _write_manifest(
     total_rows = 0
     for p, part in pairs:
         size = os.path.getsize(p)
+        lo = hi = None
+        if content == CONTENT_DATA and bound_cols:
+            lo_ids, hi_ids = _parquet_column_bounds(p, bound_cols)
+            if lo_ids:
+                lo = [{"key": k, "value": v} for k, v in sorted(lo_ids.items())]
+                hi = [{"key": k, "value": v} for k, v in sorted(hi_ids.items())]
         entries.append(
             {
                 "status": STATUS_ADDED,
@@ -741,6 +891,8 @@ def _write_manifest(
                     "partition": part,
                     "record_count": _parquet_row_count(p),
                     "file_size_in_bytes": size,
+                    "lower_bounds": lo,
+                    "upper_bounds": hi,
                     "equality_ids": equality_ids,
                     "sort_order_id": None,
                 },
@@ -904,6 +1056,16 @@ def _commit(
     paths = [f if isinstance(f, str) else f[0] for f in typed_files]
     snapshot_id = _snapshot_id_for(paths, parent)
 
+    cur_schema = next(
+        s
+        for s in meta["schemas"]
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    bound_cols = {
+        f["name"]: (f["id"], f["type"])
+        for f in cur_schema["fields"]
+        if f["type"] in _BOUNDED_TYPES
+    }
     manifest = _write_manifest(
         md,
         typed_files,
@@ -912,6 +1074,7 @@ def _commit(
         pfields=pfields,
         content=content,
         equality_ids=equality_ids,
+        bound_cols=bound_cols,
     )
     carried = []
     if parent is not None and carry_prior:
@@ -1166,7 +1329,10 @@ def _spec_from_partition_by(partition_by: list[str] | None, spark_schema) -> lis
     return out
 
 
-def _materialize(df, table_dir: str, pfields: list[dict]) -> list:
+def _materialize(
+    df, table_dir: str, pfields: list[dict], sort_by: list[str] | None = None,
+    sort_buckets: int | None = None,
+) -> list:
     """Write ``df``'s parquet into ``data/`` (hive layout when
     partitioned) via a staging dir -> list of new files, as paths or
     ``(path, partition_dict)`` pairs. Non-identity spec fields are
@@ -1180,6 +1346,14 @@ def _materialize(df, table_dir: str, pfields: list[dict]) -> list:
 
     data_dir = os.path.join(table_dir, "data")
     staging = os.path.join(table_dir, "_staging")
+    if sort_by:
+        # range-cluster files on the sort key so each lands with tight,
+        # mostly-disjoint column bounds (spec 125/128) — what makes the
+        # zone-map pruning in snapshot_entries(range_filter=...) skip
+        # whole files instead of just row groups. sort_buckets pins the
+        # file count (AQE otherwise coalesces small writes to one file)
+        args = ([sort_buckets] if sort_buckets else []) + list(sort_by)
+        df = df.repartitionByRange(*args).sortWithinPartitions(*sort_by)
     for pf in pfields:
         if pf["transform"] != "identity":
             df = df.withColumn(
@@ -1220,6 +1394,8 @@ def write_table(
     table_dir: str,
     timestamp_ms: int = 1_700_000_000_000,
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+    sort_buckets: int | None = None,
 ) -> int:
     """Materialize a DataFrame as a new Iceberg append snapshot (creating
     the table if needed): write parquet into ``data/``, then commit the
@@ -1240,7 +1416,9 @@ def write_table(
         pfields = partition_fields(current_metadata(table_dir))
     else:
         pfields = _spec_from_partition_by(partition_by, df.schema)
-    new_files = _materialize(df, table_dir, pfields)
+    new_files = _materialize(
+        df, table_dir, pfields, sort_by=sort_by, sort_buckets=sort_buckets
+    )
     return commit_append(
         table_dir,
         new_files,
