@@ -518,3 +518,38 @@ def test_range_filter_composes_with_partitions_and_deletes(spark, tmp_path):
     )
     want = [i for i in range(50, 150) if i % 3 == 1 and i % 10 != 5]
     assert sorted(r["doc_id"] for r in got.collect()) == want
+
+
+def test_sort_order_recorded_and_inherited(spark, tmp_path):
+    """write_table(sort_by=...) records a real spec sort order in
+    metadata.json; appends WITHOUT sort_by inherit it, so clustering
+    (and zone-map tightness) survives maintenance appends."""
+    tbl = str(tmp_path / "so")
+    iceberg_meta.write_table(
+        _df(spark, 0, 200), tbl, sort_by=["doc_id"], sort_buckets=4
+    )
+    meta = iceberg_meta.current_metadata(tbl)
+    assert meta["default-sort-order-id"] == 1
+    order = next(o for o in meta["sort-orders"] if o["order-id"] == 1)
+    assert order["fields"][0]["direction"] == "asc"
+    assert iceberg_meta.table_sort_by(meta) == ["doc_id"]
+
+    # append with NO sort_by: files still arrive range-clustered enough
+    # for the zone maps to prune inside the appended range
+    iceberg_meta.write_table(_df(spark, 1000, 1200), tbl)
+    ent_all = iceberg_meta.snapshot_entries(tbl)
+    ent = iceberg_meta.snapshot_entries(
+        tbl, range_filter={"doc_id": (1000, 1049)}
+    )
+    assert 0 < len(ent["data"]) < len(ent_all["data"])
+    got, _ = read_table(spark, tbl, range_filter={"doc_id": (1000, 1049)})
+    assert got.count() == 50
+
+    # unsorted tables record / resolve no order
+    tbl2 = str(tmp_path / "unsorted")
+    iceberg_meta.write_table(_df(spark, 0, 10), tbl2)
+    assert iceberg_meta.table_sort_by(iceberg_meta.current_metadata(tbl2)) == []
+    with pytest.raises(ValueError, match="sort column"):
+        iceberg_meta.write_table(
+            _df(spark, 0, 5), str(tmp_path / "bad"), sort_by=["nope"]
+        )

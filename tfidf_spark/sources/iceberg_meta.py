@@ -977,6 +977,7 @@ def _commit(
     partition_by: list[str] | None = None,
     equality_ids: list[int] | None = None,
     carry_prior: bool = True,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Shared commit core: write one manifest for ``files`` (data or
     delete content), carry prior manifests BY REFERENCE in a new manifest
@@ -1015,6 +1016,9 @@ def _commit(
                     "field-id": 1000 + i,
                 }
             )
+        for c in sort_by or []:
+            if c not in col_ids:
+                raise ValueError(f"sort column {c!r} not in schema")
         meta = {
                 "format-version": 2,
                 "table-uuid": hashlib.sha256(
@@ -1028,8 +1032,28 @@ def _commit(
                 "schemas": [_iceberg_schema(spark_schema)],
                 "default-spec-id": 0,
                 "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
-                "default-sort-order-id": 0,
-                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 1 if sort_by else 0,
+                "sort-orders": (
+                    [{"order-id": 0, "fields": []}]
+                    + (
+                        [
+                            {
+                                "order-id": 1,
+                                "fields": [
+                                    {
+                                        "transform": "identity",
+                                        "source-id": col_ids[c],
+                                        "direction": "asc",
+                                        "null-order": "nulls-first",
+                                    }
+                                    for c in sort_by
+                                ],
+                            }
+                        ]
+                        if sort_by
+                        else []
+                    )
+                ),
                 "properties": {},
                 "current-snapshot-id": -1,
                 "snapshots": [],
@@ -1164,6 +1188,7 @@ def commit_append(
     spark_schema=None,
     timestamp_ms: int = 1_700_000_000_000,
     partition_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
 ) -> int:
     """Append ``new_data_files`` — paths, or ``(path, partition_dict)``
     pairs for a partitioned table — as a new snapshot; creates the table
@@ -1177,6 +1202,7 @@ def commit_append(
         spark_schema=spark_schema,
         timestamp_ms=timestamp_ms,
         partition_by=partition_by,
+        sort_by=sort_by,
     )
 
 
@@ -1389,6 +1415,29 @@ def _materialize(
     return new_files
 
 
+def table_sort_by(meta: dict) -> list[str]:
+    """Resolve the table's default sort order to current column names
+    (identity fields only — the only kind this writer records)."""
+    oid = meta.get("default-sort-order-id", 0)
+    order = next(
+        (o for o in meta.get("sort-orders", []) if o.get("order-id") == oid),
+        None,
+    )
+    if not order or not order.get("fields"):
+        return []
+    cur = next(
+        s
+        for s in meta.get("schemas", [])
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    names = {f["id"]: f["name"] for f in cur["fields"]}
+    return [
+        names[f["source-id"]]
+        for f in order["fields"]
+        if f.get("transform") == "identity" and f["source-id"] in names
+    ]
+
+
 def write_table(
     df,
     table_dir: str,
@@ -1413,9 +1462,17 @@ def write_table(
     pruning. Appends to a partitioned table inherit the table's spec
     (``partition_by`` is only consulted on table creation)."""
     if is_iceberg_table(table_dir):
-        pfields = partition_fields(current_metadata(table_dir))
+        meta = current_metadata(table_dir)
+        pfields = partition_fields(meta)
+        if sort_by is None:
+            # appends inherit the table's recorded sort order, so the
+            # clustering (and zone-map tightness) survives maintenance
+            sort_by = table_sort_by(meta) or None
     else:
         pfields = _spec_from_partition_by(partition_by, df.schema)
+    for c in sort_by or []:
+        if c not in df.columns:
+            raise ValueError(f"sort column {c!r} not in schema")
     new_files = _materialize(
         df, table_dir, pfields, sort_by=sort_by, sort_buckets=sort_buckets
     )
@@ -1425,6 +1482,7 @@ def write_table(
         spark_schema=df.schema,
         timestamp_ms=timestamp_ms,
         partition_by=partition_by,
+        sort_by=sort_by,
     )
 
 
