@@ -553,3 +553,26 @@ def test_sort_order_recorded_and_inherited(spark, tmp_path):
         iceberg_meta.write_table(
             _df(spark, 0, 5), str(tmp_path / "bad"), sort_by=["nope"]
         )
+
+
+def test_range_filter_pushed_to_parquet_scan(spark, tmp_path):
+    """Scale claims are plan claims: the exact row predicates that back
+    zone-map pruning must reach the parquet scan as pushed filters, not
+    sit in a post-scan Filter only."""
+    tbl = str(tmp_path / "push")
+    iceberg_meta.write_table(
+        _df(spark, 0, 100), tbl, sort_by=["doc_id"], sort_buckets=4
+    )
+    got, _ = read_table(spark, tbl, range_filter={"doc_id": (10, 20)})
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(doc_id,10" in plan
+    assert "LessThanOrEqual(doc_id,20" in plan
+    # the murmur3 bucket pandas UDF exists only on the WRITE path — a
+    # transformed-table READ stays pure JVM (no Python in the scan plan)
+    tbl2 = str(tmp_path / "push2")
+    iceberg_meta.write_table(_df(spark, 0, 40), tbl2, partition_by=["bucket(4, repo)"])
+    got2, _ = read_table(spark, tbl2, partition_filter={"repo": "repo1"})
+    plan2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+    assert "PushedFilters: [" in plan2 and "repo" in plan2.split("PushedFilters")[1][:80]
