@@ -158,7 +158,7 @@ def test_days_partitioning(spark, tmp_path):
     tbl = str(tmp_path / "dtbl")
     df = spark.range(0, 6).select(
         F.col("id").alias("doc_id"),
-        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,cast(id as int),0,0,0)").alias("ts"),
+        F.expr("timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,cast(id as int),0,0,0)").alias("ts"),
         F.concat(F.lit("c"), F.col("id")).alias("content"),
     )
     iceberg_meta.write_table(df, tbl, partition_by=["days(ts)"])
@@ -415,7 +415,7 @@ def test_month_partitioning_roundtrip(spark, tmp_path):
     df = spark.range(0, 8).select(
         F.col("id").alias("doc_id"),
         F.expr(
-            "timestamp'2024-01-15 06:00:00' + make_interval(0, cast(id as int), 0,0,0,0,0)"
+            "timestamp_ntz'2024-01-15 06:00:00' + make_interval(0, cast(id as int), 0,0,0,0,0)"
         ).alias("ts"),
         F.concat(F.lit("c"), F.col("id")).alias("content"),
     )
@@ -576,3 +576,250 @@ def test_range_filter_pushed_to_parquet_scan(spark, tmp_path):
     plan2 = got2._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
     assert "PushedFilters: [" in plan2 and "repo" in plan2.split("PushedFilters")[1][:80]
+
+
+# --------------------------------------------------------------------------
+# temporal zone maps + temporal partitioning (round 7, ADVICE r6)
+# --------------------------------------------------------------------------
+
+def _ts_df(spark, n=400):
+    """Rows with one event per hour from 2024-01-01 (timestamp_ntz) and
+    a per-day date column."""
+    return spark.range(0, n).select(
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, cast(id AS int), 0, 0)"
+        ).alias("ts"),
+        F.expr("date'2024-01-01' + cast(id / 24 AS int)").alias("d"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+def test_timestamp_zone_maps_prune_files(spark, tmp_path):
+    """ts-sorted table -> int64-micros bounds in the manifests (spec
+    Appendix D) -> a ts range_filter skips files and reads row-exact.
+    Mirrors test_column_bounds_written_and_prune_files for temporal
+    types (VERDICT r6 task #3: temporal zone maps were claimed but
+    inert)."""
+    tbl = str(tmp_path / "tszm")
+    iceberg_meta.write_table(_ts_df(spark), tbl, sort_by=["ts"], sort_buckets=8)
+    ent_all = iceberg_meta.snapshot_entries(tbl)
+    assert len(ent_all["data"]) > 3
+    rng = {"ts": ("2024-01-03 00:00:00", "2024-01-04 23:00:00")}
+    ent = iceberg_meta.snapshot_entries(tbl, range_filter=rng)
+    assert 0 < len(ent["data"]) < len(ent_all["data"]), "no ts file-skip"
+    got, _ = read_table(spark, tbl, range_filter=rng)
+    # hours 48..95 inclusive
+    assert sorted(r["event_id"] for r in got.collect()) == list(range(48, 96))
+
+
+def test_date_zone_maps_and_bound_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    tbl = str(tmp_path / "dzm")
+    iceberg_meta.write_table(_ts_df(spark), tbl, sort_by=["d"], sort_buckets=8)
+    rng = {"d": ("2024-01-05", "2024-01-06")}
+    ent_all = iceberg_meta.snapshot_entries(tbl)
+    ent = iceberg_meta.snapshot_entries(tbl, range_filter=rng)
+    assert 0 < len(ent["data"]) < len(ent_all["data"]), "no date file-skip"
+    got, _ = read_table(spark, tbl, range_filter=rng)
+    days = {r["d"] for r in got.collect()}
+    assert days == {dt.date(2024, 1, 5), dt.date(2024, 1, 6)}
+    # binary single-value serialization round-trips exactly
+    for v, typ in [
+        (dt.date(2024, 1, 5), "date"),
+        (dt.datetime(2024, 1, 5, 13, 37, 1, 123456), "timestamp"),
+    ]:
+        assert iceberg_meta._bound_value(
+            iceberg_meta._bound_bytes(v, typ), typ
+        ) == v
+    # spec physical encodings (Appendix D): date=int32 days, ts=int64 us
+    assert iceberg_meta._bound_bytes(dt.date(1970, 1, 2), "date") == b"\x01\x00\x00\x00"
+    assert iceberg_meta._bound_bytes(
+        dt.datetime(1970, 1, 1, 0, 0, 0, 1), "timestamp"
+    ) == b"\x01\x00\x00\x00\x00\x00\x00\x00"
+
+
+def test_identity_partition_on_date_column(spark, tmp_path):
+    """Identity partitioning on a date column (newly expressible via the
+    _SPARK_TO_ICEBERG temporal additions) must commit and prune — it
+    crashed at commit before round 7 (_field_summaries raised through
+    _bound_bytes)."""
+    import datetime as dt
+
+    tbl = str(tmp_path / "dpart")
+    iceberg_meta.write_table(_ts_df(spark, 96), tbl, partition_by=["d"])
+    ent_all = iceberg_meta.snapshot_entries(tbl)
+    ent = iceberg_meta.snapshot_entries(
+        tbl, partition_filter={"d": "2024-01-02"}
+    )
+    assert 0 < len(ent["data"]) < len(ent_all["data"])
+    got, _ = read_table(spark, tbl, partition_filter={"d": "2024-01-02"})
+    rows = got.collect()
+    assert sorted(r["event_id"] for r in rows) == list(range(24, 48))
+    assert {r["d"] for r in rows} == {dt.date(2024, 1, 2)}
+
+
+def test_days_transform_requires_tz_free_source(spark, tmp_path):
+    """days() over a session-TZ TIMESTAMP silently shifts across reader
+    time zones — refused; timestamp_ntz and date sources work."""
+    df = _ts_df(spark, 48)
+    with pytest.raises(NotImplementedError, match="session-TZ"):
+        iceberg_meta.write_table(
+            df.withColumn("ts", F.col("ts").cast("timestamp")),
+            str(tmp_path / "tz_bad"),
+            partition_by=["days(ts)"],
+        )
+    tbl = str(tmp_path / "tz_ok")
+    iceberg_meta.write_table(df, tbl, partition_by=["days(ts)"])
+    got, _ = read_table(
+        spark, tbl, partition_filter={"ts": "2024-01-02 05:00:00"}
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == list(range(24, 48))
+
+
+def test_nan_safe_double_range_pruning():
+    """Spec-conformant bounds EXCLUDE NaN, but Spark orders NaN above
+    every double, so the open-upper row predicate v >= lo KEEPS NaN
+    rows — a file whose non-NaN max < lo may still match. Doubles must
+    not take the bhi < lo prune direction without a closed upper bound
+    (which excludes NaN via the row predicate) (ADVICE r6)."""
+    def df_with(typ, lo_b, hi_b, fid=1):
+        return {
+            "lower_bounds": [{"key": fid, "value": lo_b}],
+            "upper_bounds": [{"key": fid, "value": hi_b}],
+        }
+
+    bb = iceberg_meta._bound_bytes
+    d = df_with("double", bb(0.0, "double"), bb(99.0, "double"))
+    # open upper endpoint: a double file may hide NaN rows -> keep
+    assert not iceberg_meta._range_prunable(
+        d, [(1, "double", 1000.0, None)]
+    )
+    # closed upper bound: NaN fails v <= hi anyway -> prune is safe
+    assert iceberg_meta._range_prunable(d, [(1, "double", 1000.0, 2000.0)])
+    # blo > hi direction is NaN-safe in both shapes
+    assert iceberg_meta._range_prunable(d, [(1, "double", None, -5.0)])
+    # integers have no NaN: open upper endpoint still prunes
+    i = df_with("long", bb(0, "long"), bb(99, "long"))
+    assert iceberg_meta._range_prunable(i, [(1, "long", 1000, None)])
+
+
+# --------------------------------------------------------------------------
+# schema evolution: ADD / DROP COLUMN (round 7, VERDICT r6 task #4)
+# --------------------------------------------------------------------------
+
+def test_add_column_old_files_read_null(spark, tmp_path):
+    """write -> ADD COLUMN -> append -> read: era-A files (no physical
+    column) surface the added column as typed NULL; era-B files carry
+    real values; the two eras union consistently."""
+    tbl = str(tmp_path / "addc")
+    iceberg_meta.write_table(_df(spark, 0, 20), tbl)
+    sid = iceberg_meta.add_column(tbl, "stars", "long")
+    assert sid == 1
+    iceberg_meta.write_table(
+        _df(spark, 20, 30).withColumn("stars", F.col("doc_id") * 10),
+        tbl,
+        timestamp_ms=1_700_000_000_001,
+    )
+    got, _ = read_table(spark, tbl)
+    rows = {r["doc_id"]: r["stars"] for r in got.collect()}
+    assert len(rows) == 30
+    assert all(rows[i] is None for i in range(20))
+    assert all(rows[i] == i * 10 for i in range(20, 30))
+    assert dict(got.dtypes)["stars"] == "bigint"
+
+
+def test_add_column_fresh_field_id_never_reused(spark, tmp_path):
+    tbl = str(tmp_path / "addid")
+    iceberg_meta.write_table(_df(spark, 0, 5), tbl)  # ids 1..6
+    iceberg_meta.add_column(tbl, "a", "int")         # id 7
+    iceberg_meta.drop_column(tbl, "a")
+    iceberg_meta.add_column(tbl, "b", "int")         # must be id 8
+    meta = iceberg_meta.current_metadata(tbl)
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    b = next(f for f in cur["fields"] if f["name"] == "b")
+    assert b["id"] == 8
+    with pytest.raises(ValueError, match="already exists"):
+        iceberg_meta.add_column(tbl, "b", "int")
+    with pytest.raises(NotImplementedError, match="type"):
+        iceberg_meta.add_column(tbl, "m", "map<string,int>")
+
+
+def test_drop_column_vanishes_but_stays_in_old_files(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "dropc")
+    iceberg_meta.write_table(_df(spark, 0, 10), tbl)
+    iceberg_meta.drop_column(tbl, "commit")
+    got, _ = read_table(spark, tbl)
+    assert "commit" not in got.columns
+    assert got.count() == 10
+    # physically untouched: the parquet files still hold the column
+    ent = iceberg_meta.snapshot_entries(tbl)
+    assert all(
+        "commit" in pq.read_schema(d["path"]).names for d in ent["data"]
+    )
+    # appends after the drop write files WITHOUT the column; both eras read
+    iceberg_meta.write_table(
+        _df(spark, 10, 15).drop("commit"), tbl,
+        timestamp_ms=1_700_000_000_001,
+    )
+    got2, _ = read_table(spark, tbl)
+    assert got2.count() == 15 and "commit" not in got2.columns
+
+
+def test_drop_column_guards(spark, tmp_path):
+    tbl = str(tmp_path / "dropg")
+    iceberg_meta.write_table(
+        _df(spark, 0, 12), tbl, partition_by=["lang"], sort_by=["doc_id"],
+        sort_buckets=2,
+    )
+    with pytest.raises(NotImplementedError, match="partition source"):
+        iceberg_meta.drop_column(tbl, "lang")
+    with pytest.raises(NotImplementedError, match="sort order"):
+        iceberg_meta.drop_column(tbl, "doc_id")
+    with pytest.raises(ValueError, match="not in current schema"):
+        iceberg_meta.drop_column(tbl, "nope")
+    # live equality-delete key -> refused
+    tbl2 = str(tmp_path / "dropeq")
+    iceberg_meta.write_table(_df(spark, 0, 12), tbl2)
+    iceberg_meta.commit_equality_deletes(tbl2, [{"repo": "repo1"}], ["repo"])
+    with pytest.raises(NotImplementedError, match="equality-delete"):
+        iceberg_meta.drop_column(tbl2, "repo")
+    # a non-key column still drops fine on the same table
+    iceberg_meta.drop_column(tbl2, "commit")
+    got, _ = read_table(spark, tbl2)
+    assert "commit" not in got.columns
+    assert got.filter(F.col("repo") == "repo1").count() == 0
+
+
+def test_rename_then_add_then_drop_combined(spark, tmp_path):
+    """The full r7 evolution chain the iceberg_roundtrip gate runs:
+    rename + add + append + drop, rows and values exact across eras."""
+    tbl = str(tmp_path / "combo")
+    iceberg_meta.write_table(
+        _df(spark, 0, 9).withColumn("scratch", F.lit("x")), tbl
+    )
+    iceberg_meta.rename_column(tbl, "content", "body")
+    iceberg_meta.add_column(tbl, "flagged", "boolean")
+    iceberg_meta.write_table(
+        _df(spark, 9, 12)
+        .withColumnRenamed("content", "body")
+        .withColumns({"scratch": F.lit("y"), "flagged": F.lit(True)}),
+        tbl,
+        timestamp_ms=1_700_000_000_001,
+    )
+    iceberg_meta.drop_column(tbl, "scratch")
+    got, _ = read_table(spark, tbl)
+    assert sorted(got.columns) == [
+        "body", "commit", "doc_id", "flagged", "lang", "path", "repo"
+    ]
+    rows = {r["doc_id"]: (r["body"], r["flagged"]) for r in got.collect()}
+    assert len(rows) == 12
+    assert rows[0][0].startswith("def fn_0") and rows[0][1] is None
+    assert rows[11][1] is True

@@ -770,7 +770,15 @@ def q_iceberg_roundtrip(spark, sf_dir):
     TABLE RENAME COLUMN n_chars -> char_count`` between them, so the two
     file generations carry DIFFERENT physical column names — the read
     must resolve both through the immutable field ids and present every
-    row under the current name, or the hash gate breaks."""
+    row under the current name, or the hash gate breaks.
+
+    Round 7 adds ADD/DROP COLUMN mid-table (VERDICT r6 task #4): era-A
+    files are written WITH a ``scratch`` column that is later DROPPED
+    (it must vanish from the read while staying physically in the old
+    files) and WITHOUT the ``flagged`` column that is later ADDED
+    (era-A rows must surface it as NULL; era-B files carry real
+    values). The flagged tri-state is emitted as an int so the gate
+    hash pins NULL-vs-value per row across both eras."""
     import shutil
     import tempfile
 
@@ -781,22 +789,40 @@ def q_iceberg_roundtrip(spark, sf_dir):
     tbl = tempfile.mkdtemp(prefix="iceberg_gate_")
     shutil.rmtree(tbl)  # write_table creates the tree itself
     try:
-        iceberg_meta.write_table(docs.filter(F.col("doc_id") % 3 != 0), tbl)
-        iceberg_meta.rename_column(tbl, "n_chars", "char_count")
         iceberg_meta.write_table(
-            docs.filter(F.col("doc_id") % 3 == 0).withColumnRenamed(
-                "n_chars", "char_count"
+            docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+                "scratch", F.lit("to-be-dropped")
+            ),
+            tbl,
+        )
+        iceberg_meta.rename_column(tbl, "n_chars", "char_count")
+        iceberg_meta.add_column(tbl, "flagged", "boolean")
+        iceberg_meta.write_table(
+            docs.filter(F.col("doc_id") % 3 == 0)
+            .withColumnRenamed("n_chars", "char_count")
+            .withColumns(
+                {
+                    "scratch": F.lit("still-here"),
+                    "flagged": F.col("doc_id") % 2 == 0,
+                }
             ),
             tbl,
             timestamp_ms=1_700_000_000_001,
         )
+        iceberg_meta.drop_column(tbl, "scratch")
         df, fp = load_corpus(spark, tbl, fmt="iceberg")
         assert fp.startswith("iceberg:"), fp
+        assert "scratch" not in df.columns, "dropped column leaked into read"
         return (
             df.select(
                 "doc_id",
                 F.sha2("text", 256).alias("content_sha"),
                 F.col("char_count").cast("long").alias("char_count"),
+                F.when(F.col("flagged").isNull(), -1)
+                .when(F.col("flagged"), 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("flagged_n"),
             )
             # materialize BEFORE the table dir is deleted: the driver
             # collects lazily after this function returns
@@ -965,14 +991,18 @@ def q_raw_formats_roundtrip(spark, sf_dir):
 
 
 def q_iceberg_minmax_prune(spark, sf_dir):
-    """Zone-map file skipping, driver-gated (round 6): documents written
-    sort_by=doc_id so each data file carries tight [min, max] doc_id
-    bounds in its manifest entry (spec fields 125/128, computed from the
-    parquet footers at commit — no data scan), then read with a
-    range_filter that prunes files on those bounds BEFORE opening them
-    and re-applies the range as an exact row predicate. A file-skip
-    assert pins that pruning really skipped files; hash-matching the
-    oracle's BETWEEN proves the zone maps lose and duplicate nothing."""
+    """Zone-map file skipping, driver-gated (round 6; temporal bounds
+    added round 7): documents written sort_by=doc_id so each data file
+    carries tight [min, max] doc_id bounds in its manifest entry (spec
+    fields 125/128, computed from the parquet footers at commit — no
+    data scan), then read with a range_filter that prunes files on
+    those bounds BEFORE opening them and re-applies the range as an
+    exact row predicate. The second leg does the same over a TIMESTAMP
+    column (events sorted by ts; bounds serialized as int64 epoch
+    micros per spec Appendix D) — the shape a time-ordered 10^12-file
+    ingest log prunes by. File-skip asserts pin that pruning really
+    skipped files on BOTH legs; hash-matching the oracle's BETWEENs
+    proves the zone maps lose and duplicate nothing."""
     import shutil
     import tempfile
 
@@ -980,8 +1010,11 @@ def q_iceberg_minmax_prune(spark, sf_dir):
     from tfidf_spark.sources.catalog import read_table
 
     docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
     tbl = tempfile.mkdtemp(prefix="iceberg_zm_")
+    tbl2 = tempfile.mkdtemp(prefix="iceberg_zm_ts_")
     shutil.rmtree(tbl)
+    shutil.rmtree(tbl2)
     try:
         iceberg_meta.write_table(docs, tbl, sort_by=["doc_id"], sort_buckets=8)
         rng = {"doc_id": (100, 299)}
@@ -989,14 +1022,28 @@ def q_iceberg_minmax_prune(spark, sf_dir):
         ent = iceberg_meta.snapshot_entries(tbl, range_filter=rng)
         assert 0 < len(ent["data"]) < n_all, "zone maps skipped no files"
         df, _ = read_table(spark, tbl, range_filter=rng)
-        return (
-            df.select(
-                "doc_id",
-                F.sha2("text", 256).alias("content_sha"),
-            ).localCheckpoint(eager=True)
+
+        iceberg_meta.write_table(events, tbl2, sort_by=["ts"], sort_buckets=8)
+        trng = {"ts": ("2024-01-10 00:00:00", "2024-01-14 23:59:59")}
+        tn_all = len(iceberg_meta.snapshot_entries(tbl2)["data"])
+        tent = iceberg_meta.snapshot_entries(tbl2, range_filter=trng)
+        assert 0 < len(tent["data"]) < tn_all, (
+            "temporal zone maps skipped no files"
         )
+        edf, _ = read_table(spark, tbl2, range_filter=trng)
+        out = df.select(
+            "doc_id",
+            F.sha2("text", 256).alias("content_sha"),
+        ).unionAll(
+            edf.select(
+                (-F.col("event_id")).alias("doc_id"),
+                F.sha2("props", 256).alias("content_sha"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tbl, ignore_errors=True)
+        shutil.rmtree(tbl2, ignore_errors=True)
 
 
 def q_iceberg_bucket_prune(spark, sf_dir):
@@ -1150,25 +1197,18 @@ QUERIES = {
     "kmv_distinct_docs": q_kmv_distinct_docs,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_refined_topk": q_ann_ivf_refined_topk,
+    # CHANGED in r7 (gates must observe the change): iceberg_roundtrip
+    # now exercises ADD COLUMN + DROP COLUMN mid-table alongside the r6
+    # rename; iceberg_minmax_prune gained the temporal (timestamp) zone
+    # map leg
     "iceberg_roundtrip": q_iceberg_roundtrip,
+    "iceberg_minmax_prune": q_iceberg_minmax_prune,
     "iceberg_partitioned_prune": q_iceberg_partitioned_prune,
     "iceberg_mor_deletes": q_iceberg_mor_deletes,
-    "iceberg_cdc": q_iceberg_cdc,
-    # new r6: transformed partition specs + eq-delete CDC row images +
-    # raw ingestion formats
-    "iceberg_bucket_prune": q_iceberg_bucket_prune,
-    "iceberg_minmax_prune": q_iceberg_minmax_prune,
-    "iceberg_cdc_eq": q_iceberg_cdc_eq,
-    "raw_formats_roundtrip": q_raw_formats_roundtrip,
     "rls_scoped_docs": q_rls_scoped_docs,
-    # ungated in r5 (fell past the 50-entry window) — moved inside it:
-    "events_hypertable_daily": q_events_hypertable_daily,
-    "dup_components": q_dup_components,
-    "dup_components_star": q_dup_components_star,
-    # ---- ROTATION TAIL (r6): long-stable relational entries, green in
-    # every round r1-r5 (CORRECTNESS_r0*.json), rotated past the window
-    # for ONE round to make room for the entries above + this round's
-    # new Iceberg gates. Rotate back in r7. See COVERAGE.md.
+    # rotated BACK in r7 (VERDICT r6 task #2): ungated for exactly one
+    # round (r6), green in every round r1-r5 and in the r7 smoke test
+    # (tests/test_gate_rotation.py)
     "lineitem_agg": q_lineitem_agg,
     "lineitem_rollup": q_lineitem_rollup,
     "events_hourly": q_events_hourly,
@@ -1177,6 +1217,19 @@ QUERIES = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "nation_revenue": q_nation_revenue,
     "orders_running_total": q_orders_running_total,
+    # ---- ROTATION TAIL (r7): every entry below was GATED GREEN in r6
+    # (CORRECTNESS_r06.json) so one ungated round is within the "never
+    # ungated two consecutive rounds" contract; all of them run against
+    # their DuckDB oracles locally each round via
+    # tests/test_gate_rotation.py. See COVERAGE.md "Driver-gate
+    # rotation (round 7)".
+    "iceberg_bucket_prune": q_iceberg_bucket_prune,
+    "iceberg_cdc": q_iceberg_cdc,
+    "iceberg_cdc_eq": q_iceberg_cdc_eq,
+    "raw_formats_roundtrip": q_raw_formats_roundtrip,
+    "events_hypertable_daily": q_events_hypertable_daily,
+    "dup_components": q_dup_components,
+    "dup_components_star": q_dup_components_star,
 }
 
 # Shared DuckDB CTE prelude for token-level oracles. The simple char-class
@@ -1664,7 +1717,9 @@ ORACLES = {
         FROM s ORDER BY round(dot / (sqrt(nx) * sqrt(ny)), 6) DESC, vec_id LIMIT 20""",
     "iceberg_roundtrip": """
         SELECT doc_id, sha256(text) AS content_sha,
-               n_chars::BIGINT AS char_count
+               n_chars::BIGINT AS char_count,
+               CASE WHEN doc_id % 3 <> 0 THEN -1
+                    WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END::INT AS flagged_n
         FROM documents""",
     "raw_formats_roundtrip": """
         SELECT f.fmt, d.doc_id, sha256(d.text) AS content_sha
@@ -1672,7 +1727,12 @@ ORACLES = {
         CROSS JOIN (SELECT unnest(['jsonl', 'csv', 'orc']) AS fmt) f""",
     "iceberg_minmax_prune": """
         SELECT doc_id, sha256(text) AS content_sha
-        FROM documents WHERE doc_id BETWEEN 100 AND 299""",
+        FROM documents WHERE doc_id BETWEEN 100 AND 299
+        UNION ALL
+        SELECT -event_id AS doc_id, sha256(props) AS content_sha
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-14 23:59:59'""",
     "iceberg_bucket_prune": """
         SELECT doc_id, sha256(text) AS content_sha, lang, source
         FROM documents WHERE lang IN ('en', 'zh') AND source = 'src18'""",

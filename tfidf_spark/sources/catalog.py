@@ -60,6 +60,22 @@ def _maybe_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
     return df
 
 
+# Iceberg primitive -> Spark cast target (for typed NULLs of columns
+# added after a file was written). Iceberg `timestamp` is the TZ-free
+# flavor in this writer (see iceberg_meta._SPARK_TO_ICEBERG).
+_ICEBERG_TO_SPARK = {
+    "string": "string",
+    "long": "long",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp_ntz",
+}
+
+
 def _rename_map(writer_names: dict, current_names: dict) -> dict[str, str]:
     """Field-id join of a file's WRITER schema against the table's
     current schema -> {old_column_name: current_name} for every field
@@ -81,12 +97,18 @@ def _scan_entries(
     """Scan data-file entries presenting the CURRENT schema's column
     names: files are grouped by the schema they were written under
     (``snapshot_entries`` resolves it per entry through the adding
-    snapshot) and renamed via the field-id mapping — so a table that had
-    ``ALTER TABLE RENAME COLUMN`` run between snapshots reads all its
-    files consistently instead of silently mis-binding by name. One scan
-    per distinct writer schema (almost always exactly one), unioned by
-    name."""
+    snapshot), renamed via the field-id mapping, and PROJECTED onto the
+    current schema — so a table that had ``ALTER TABLE RENAME/ADD/DROP
+    COLUMN`` run between snapshots reads all its files consistently
+    instead of silently mis-binding by name: renamed columns bind by
+    field id, columns added after a file was written surface as typed
+    NULLs in that file, dropped columns vanish from reads while
+    remaining physically in old files. One scan per distinct writer
+    schema (almost always exactly one), unioned by name. Transform-
+    derived hive columns (``repo_bucket``) are layout-only, outside the
+    schema, and disappear in the projection."""
     cur = ent["schemas_by_id"].get(ent["current_schema_id"], {})
+    cur_fields = ent.get("current_schema_fields")
     groups: dict[int, list[str]] = {}
     for d in entries:
         groups.setdefault(d.get("schema_id", ent["current_schema_id"]), []).append(
@@ -107,6 +129,16 @@ def _scan_entries(
         ren = _rename_map(ent["schemas_by_id"].get(sid, cur), cur)
         if ren:
             s = s.withColumnsRenamed(ren)
+        if cur_fields is not None:
+            have = set(s.columns)
+            cols = [
+                F.col(f["name"])
+                if f["name"] in have
+                else F.lit(None).cast(_ICEBERG_TO_SPARK[f["type"]]).alias(f["name"])
+                for f in cur_fields
+            ]
+            cols += [F.col(c) for c in (_FILE_COL, _POS_COL) if c in have]
+            s = s.select(*cols)
         parts.append(s)
     return reduce(DataFrame.unionByName, parts)
 

@@ -58,7 +58,40 @@ _ICEBERG_TO_AVRO = {
     "float": "float",
     "boolean": "boolean",
     "binary": "bytes",
+    # temporal partition values travel in their spec physical encoding
+    # (date = int days from epoch, timestamp = long micros from epoch)
+    # and are converted back to Python date/datetime at decode
+    "date": "int",
+    "timestamp": "long",
 }
+
+
+def _part_to_avro(v, iceberg_type: str):
+    """Partition value -> its Avro physical representation."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if iceberg_type == "date":
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        return (v - _dt.date(1970, 1, 1)).days
+    if iceberg_type == "timestamp":
+        return _ts_micros(v)
+    return v
+
+
+def _part_from_avro(v, iceberg_type: str):
+    """Inverse of ``_part_to_avro``."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if iceberg_type == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+    if iceberg_type == "timestamp":
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+    return v
 
 
 def _partition_record_schema(part_fields: list[dict]) -> dict:
@@ -299,7 +332,19 @@ def resolve_snapshot(meta: dict, snapshot_id: int | None = None) -> dict:
 # --------------------------------------------------------------------------
 
 
+def _ts_micros(value) -> int:
+    """datetime/pandas.Timestamp -> int64 micros from epoch (spec
+    single-value serialization for timestamp). Aware values are
+    normalized to UTC; naive values are taken as-is (timestamp_ntz)."""
+    import datetime as _dt
+
+    if value.tzinfo is not None:
+        value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return (value - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+
+
 def _bound_bytes(value, iceberg_type: str) -> bytes:
+    import datetime as _dt
     import struct
 
     if iceberg_type == "string":
@@ -314,6 +359,14 @@ def _bound_bytes(value, iceberg_type: str) -> bytes:
         return struct.pack("<f", float(value))
     if iceberg_type == "boolean":
         return b"\x01" if value else b"\x00"
+    if iceberg_type == "date":
+        # spec Appendix D: int32 days from 1970-01-01, little-endian
+        if isinstance(value, _dt.datetime):
+            value = value.date()
+        return struct.pack("<i", (value - _dt.date(1970, 1, 1)).days)
+    if iceberg_type == "timestamp":
+        # spec Appendix D: int64 microseconds from epoch, little-endian
+        return struct.pack("<q", _ts_micros(value))
     raise NotImplementedError(f"bound serialization for {iceberg_type!r}")
 
 
@@ -335,6 +388,18 @@ def _bound_value(raw: bytes | None, iceberg_type: str):
         return struct.unpack("<f", raw)[0]
     if iceberg_type == "boolean":
         return raw != b"\x00"
+    if iceberg_type == "date":
+        import datetime as _dt
+
+        return _dt.date(1970, 1, 1) + _dt.timedelta(
+            days=struct.unpack("<i", raw)[0]
+        )
+    if iceberg_type == "timestamp":
+        import datetime as _dt
+
+        return _dt.datetime(1970, 1, 1) + _dt.timedelta(
+            microseconds=struct.unpack("<q", raw)[0]
+        )
     raise NotImplementedError(f"bound deserialization for {iceberg_type!r}")
 
 
@@ -523,6 +588,16 @@ def snapshot_entries(
         "partition_fields": pfields,
         "current_schema_id": current_schema_id,
         "schemas_by_id": schemas_by_id,
+        # ordered (id, name, type) of the CURRENT schema: the read path
+        # projects every writer-schema file group onto exactly these
+        # columns (added columns surface as typed NULLs in older files;
+        # dropped columns vanish while remaining in old files)
+        "current_schema_fields": [
+            {"id": f["id"], "name": f["name"], "type": f["type"]}
+            for s in meta.get("schemas", [])
+            if s.get("schema-id", 0) == current_schema_id
+            for f in s["fields"]
+        ],
         "data": [],
         "pos_deletes": [],
         "eq_deletes": [],
@@ -556,7 +631,14 @@ def snapshot_entries(
                     None if hi is None else _coerce(hi, f["type"]),
                 )
             )
-    ctx = (flt, snap_schema_ids, current_schema_id, id_to_col, rng)
+    ctx = (
+        flt,
+        snap_schema_ids,
+        current_schema_id,
+        id_to_col,
+        rng,
+        {pf["name"]: pf["iceberg_type"] for pf in pfields},
+    )
     if (
         spark is not None
         and len(survivors) >= distributed_manifest_threshold
@@ -614,8 +696,18 @@ def _range_prunable(df: dict, rng: list | None) -> bool:
             continue
         blo = _bound_value(lo_map[fid], typ)
         bhi = _bound_value(hi_map[fid], typ)
-        if (hi is not None and blo > hi) or (lo is not None and bhi < lo):
+        if hi is not None and blo > hi:
+            # safe for float/double too: the row predicate col <= hi
+            # excludes NaN (Spark orders NaN above every double)
             return True
+        if lo is not None and bhi < lo:
+            # parquet footer min/max EXCLUDE NaN, but with an open upper
+            # endpoint the row predicate col >= lo KEEPS NaN rows — a
+            # file whose non-NaN max < lo may still hold matching NaN
+            # rows, so float/double can only take this prune direction
+            # when a closed upper bound excludes NaN anyway
+            if typ not in ("float", "double") or hi is not None:
+                return True
     return False
 
 
@@ -626,6 +718,7 @@ def _decode_manifest(
     current_schema_id: int,
     id_to_col: dict,
     rng: list | None = None,
+    part_types: dict | None = None,
 ) -> tuple[list, list, list]:
     """Decode ONE manifest -> (data, pos_deletes, eq_deletes) entry
     lists, file-level-pruned. Module-level and driver-state-free so the
@@ -660,7 +753,10 @@ def _decode_manifest(
             )
         schema_id = snap_schema_ids.get(e.get("snapshot_id"), current_schema_id)
         if content == CONTENT_DATA:
-            part = df.get("partition") or {}
+            part = {
+                k: _part_from_avro(v, (part_types or {}).get(k, ""))
+                for k, v in (df.get("partition") or {}).items()
+            }
             if flt and any(
                 name in part and part[name] not in want
                 for name, want in flt.items()
@@ -868,9 +964,13 @@ def _write_manifest(
     delete manifests (merge-on-read)."""
     pfields = pfields or []
     pairs = [(p, {}) if isinstance(p, str) else (p[0], dict(p[1])) for p in files]
+    part_types = {pf["name"]: pf["iceberg_type"] for pf in pfields}
     entries = []
     total_rows = 0
     for p, part in pairs:
+        part = {
+            k: _part_to_avro(v, part_types.get(k, "")) for k, v in part.items()
+        }
         size = os.path.getsize(p)
         lo = hi = None
         if content == CONTENT_DATA and bound_cols:
@@ -1170,9 +1270,13 @@ def _coerce(value, iceberg_type: str):
     if iceberg_type == "boolean":
         return value in (True, "true", "True", 1)
     if iceberg_type == "timestamp":
-        if isinstance(value, _dt.datetime):
-            return value
-        return _dt.datetime.fromisoformat(str(value))
+        if not isinstance(value, _dt.datetime):
+            value = _dt.datetime.fromisoformat(str(value))
+        # bounds are stored/compared as naive micros (timestamp_ntz
+        # semantics); normalize aware inputs to UTC-naive
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return value
     if iceberg_type == "date":
         if isinstance(value, _dt.datetime):
             return value.date()
@@ -1342,6 +1446,17 @@ def _spec_from_partition_by(partition_by: list[str] | None, spark_schema) -> lis
         if col not in types:
             raise ValueError(f"partition column {col!r} not in schema")
         src_type = _SPARK_TO_ICEBERG.get(types[col], types[col])
+        if kind in ("years", "months", "days", "hours") and types[col] == "timestamp":
+            # Spark TIMESTAMP (with local time zone) stores an instant;
+            # F.year/F.hour read it in spark.sql.session.timeZone, so a
+            # reader session TZ different from the writer's would
+            # silently mis-prune. Only TZ-free sources transform
+            # identically everywhere (and match the driver-side
+            # transform_value's naive calendar math).
+            raise NotImplementedError(
+                f"time transform {kind!r} over TIMESTAMP (session-TZ) "
+                f"column {col!r}: cast to timestamp_ntz or date first"
+            )
         out.append(
             {
                 "name": T.default_field_name(kind, param, col),
@@ -1558,6 +1673,16 @@ def rename_column(
                     "rewrite_table into a new spec first"
                 )
 
+    return _commit_new_schema(table_dir, meta, new_schema, timestamp_ms)
+
+
+def _commit_new_schema(
+    table_dir: str, meta: dict, new_schema: dict, timestamp_ms: int
+) -> int:
+    """Append ``new_schema`` to the schema list, point
+    current-schema-id at it, and write the next metadata.json version.
+    Returns the new schema id. (Schema updates are metadata-only: no
+    snapshot, no data file is touched.)"""
     md = _meta_dir(table_dir)
     version = (
         max(
@@ -1567,14 +1692,110 @@ def rename_column(
         + 1
     )
     meta = dict(meta)
-    meta["schemas"] = schemas + [new_schema]
-    meta["current-schema-id"] = new_id
+    meta["schemas"] = list(meta.get("schemas", [])) + [new_schema]
+    meta["current-schema-id"] = new_schema["schema-id"]
     meta["last-updated-ms"] = timestamp_ms
     with open(os.path.join(md, f"v{version}.metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
     with open(os.path.join(md, "version-hint.text"), "w") as f:
         f.write(str(version))
-    return new_id
+    return new_schema["schema-id"]
+
+
+def add_column(
+    table_dir: str,
+    name: str,
+    col_type: str,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """``ALTER TABLE ADD COLUMN``: append a new schema containing the
+    column under a FRESH field id — ids are never reused, even ids of
+    previously dropped columns, so late-arriving files can never
+    mis-bind. No data file is touched: files written under earlier
+    schemas have no physical column with the new id and surface it as
+    NULL at read (``catalog._scan_entries`` projects every writer-schema
+    group onto the current schema). ``col_type`` is an Iceberg primitive
+    (``string``/``long``/``int``/``double``/``float``/``boolean``/
+    ``binary``/``date``/``timestamp``) or the equivalent Spark
+    simpleString. Returns the new schema id."""
+    meta = current_metadata(table_dir)
+    schemas = list(meta.get("schemas", []))
+    cur = next(
+        s
+        for s in schemas
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    names = [f["name"] for f in cur["fields"]]
+    if name in names:
+        raise ValueError(f"column {name!r} already exists in {names}")
+    t = col_type if col_type in _ICEBERG_TO_AVRO else _SPARK_TO_ICEBERG.get(col_type)
+    if t is None:
+        raise NotImplementedError(f"column type {col_type!r}")
+    # fresh id: 1 + max over ALL schemas ever (dropped ids stay burned)
+    new_fid = 1 + max(f["id"] for s in schemas for f in s["fields"])
+    new_schema = {
+        "type": "struct",
+        "schema-id": 1 + max(s.get("schema-id", 0) for s in schemas),
+        "fields": cur["fields"]
+        + [{"id": new_fid, "name": name, "required": False, "type": t}],
+    }
+    return _commit_new_schema(table_dir, meta, new_schema, timestamp_ms)
+
+
+def drop_column(
+    table_dir: str,
+    name: str,
+    timestamp_ms: int = 1_700_000_000_000,
+) -> int:
+    """``ALTER TABLE DROP COLUMN``: append a new schema without the
+    field. Data files are untouched — old files keep the physical
+    column, but reads project onto the current schema so it vanishes
+    from every query (and from CDC row images). Refused when the column
+    is a partition source in ANY spec (partition tuples and hive dirs
+    reference it), a sort-order column, or a live equality-delete key
+    (the delete file could no longer be applied). Returns the new
+    schema id."""
+    meta = current_metadata(table_dir)
+    schemas = list(meta.get("schemas", []))
+    cur = next(
+        s
+        for s in schemas
+        if s.get("schema-id", 0) == meta.get("current-schema-id", 0)
+    )
+    by_name = {f["name"]: f for f in cur["fields"]}
+    if name not in by_name:
+        raise ValueError(
+            f"column {name!r} not in current schema {sorted(by_name)}"
+        )
+    if len(cur["fields"]) == 1:
+        raise ValueError("cannot drop the only column")
+    fid = by_name[name]["id"]
+    for spec in meta.get("partition-specs", []):
+        for pf in spec.get("fields", []):
+            if pf["source-id"] == fid:
+                raise NotImplementedError(
+                    f"column {name!r} is a partition source of spec "
+                    f"{spec.get('spec-id', 0)}; rewrite_table into a new "
+                    "spec first"
+                )
+    if name in table_sort_by(meta):
+        raise NotImplementedError(
+            f"column {name!r} is in the table's sort order"
+        )
+    if meta.get("current-snapshot-id") not in (None, -1):
+        ent = snapshot_entries(table_dir)
+        for e in ent["eq_deletes"]:
+            if name in e["equality_cols"]:
+                raise NotImplementedError(
+                    f"column {name!r} keys a live equality-delete file; "
+                    "compact the table first"
+                )
+    new_schema = {
+        "type": "struct",
+        "schema-id": 1 + max(s.get("schema-id", 0) for s in schemas),
+        "fields": [f for f in cur["fields"] if f["id"] != fid],
+    }
+    return _commit_new_schema(table_dir, meta, new_schema, timestamp_ms)
 
 
 def expire_snapshots(

@@ -2,7 +2,7 @@
 
 Round 5's single bench sample showed index_build +32% / batch50 +44% vs
 round 4, coinciding with the ``stage_encode`` extraction in
-tfidf_spark/index/builder.py. A multiset diff of c9a0b17..HEAD shows that
+tfidf_spark/index/builder.py. A multiset diff of c9b0a17..HEAD shows that
 change is a PURE code move (identical plan: same tkey radix-sort key,
 same repartition, same Arrow batch conf — the tkey comment block exists
 verbatim in both versions), so the prior is "weather" — but per the
