@@ -673,10 +673,19 @@ def test_days_transform_requires_tz_free_source(spark, tmp_path):
         )
     tbl = str(tmp_path / "tz_ok")
     iceberg_meta.write_table(df, tbl, partition_by=["days(ts)"])
+    # day-level pruning keeps 2024-01-02's files; the source filter then
+    # applies as an exact row predicate (transformed pruning is a
+    # superset), selecting the one row at 05:00
+    ent = iceberg_meta.snapshot_entries(
+        tbl, partition_filter={"ts": "2024-01-02 05:00:00"}
+    )
+    assert ent["data"] and all(
+        d["partition"]["ts_day"] == 19724 for d in ent["data"]  # 2024-01-02
+    )
     got, _ = read_table(
         spark, tbl, partition_filter={"ts": "2024-01-02 05:00:00"}
     )
-    assert sorted(r["event_id"] for r in got.collect()) == list(range(24, 48))
+    assert sorted(r["event_id"] for r in got.collect()) == [29]
 
 
 def test_nan_safe_double_range_pruning():
@@ -823,3 +832,239 @@ def test_rename_then_add_then_drop_combined(spark, tmp_path):
     assert len(rows) == 12
     assert rows[0][0].startswith("def fn_0") and rows[0][1] is None
     assert rows[11][1] is True
+
+
+# --------------------------------------------------------------------------
+# partition-spec evolution (round 7, VERDICT r6 task #6)
+# --------------------------------------------------------------------------
+
+def test_spec_evolution_identity_to_bucket(spark, tmp_path):
+    """identity(lang) -> rewrite_table(partition_by=bucket(4, lang)):
+    the REPLACE lands under a NEW spec-id; pruning works on the new
+    era's live files AND (via per-manifest spec resolution) on the old
+    era's time-travel snapshot; the CDC guard still raises across the
+    REPLACE window."""
+    tbl = str(tmp_path / "specev")
+    iceberg_meta.write_table(_df(spark, 0, 60), tbl, partition_by=["lang"])
+    old_snap = iceberg_meta.snapshot_entries(tbl)["snapshot_id"]
+    old_files = {d["path"] for d in iceberg_meta.snapshot_entries(tbl)["data"]}
+
+    full, _ = read_table(spark, tbl)
+    iceberg_meta.rewrite_table(
+        full, tbl, partition_by=["bucket(4, lang)"],
+        timestamp_ms=1_700_000_000_001,
+    )
+    meta = iceberg_meta.current_metadata(tbl)
+    assert meta["default-spec-id"] == 1
+    assert len(meta["partition-specs"]) == 2
+    # new partition field id continues past the old spec's (never reused)
+    assert meta["partition-specs"][1]["fields"][0]["field-id"] == 1001
+
+    # live view: all files under the new spec, bucket pruning skips files
+    ent_all = iceberg_meta.snapshot_entries(tbl)
+    assert all(d["path"] not in old_files for d in ent_all["data"])
+    assert all("lang_bucket" in d["partition"] for d in ent_all["data"])
+    ent = iceberg_meta.snapshot_entries(tbl, partition_filter={"lang": "l1"})
+    assert 0 < len(ent["data"]) < len(ent_all["data"])
+    got, _ = read_table(spark, tbl, partition_filter={"lang": "l1"})
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        i for i in range(60) if i % 3 == 1
+    ]
+
+    # time travel to the identity era: old spec resolves per manifest
+    old_ent = iceberg_meta.snapshot_entries(
+        tbl, snapshot_id=old_snap, partition_filter={"lang": "l1"}
+    )
+    assert old_ent["data"] and all(
+        d["partition"]["lang"] == "l1" for d in old_ent["data"]
+    )
+    old_got, _ = read_table(
+        spark, tbl, snapshot_id=old_snap, partition_filter={"lang": "l1"}
+    )
+    assert sorted(r["doc_id"] for r in old_got.collect()) == [
+        i for i in range(60) if i % 3 == 1
+    ]
+
+    # CDC across the REPLACE window still refuses (rewrites are not
+    # row-level changes)
+    iceberg_meta.write_table(
+        _df(spark, 60, 70), tbl, timestamp_ms=1_700_000_000_002
+    )
+    with pytest.raises(NotImplementedError, match="replace"):
+        incremental_changes(spark, tbl, from_snapshot_id=old_snap)
+
+
+def test_spec_evolution_unblocks_identity_rename(spark, tmp_path):
+    tbl = str(tmp_path / "specren")
+    iceberg_meta.write_table(_df(spark, 0, 30), tbl, partition_by=["lang"])
+    with pytest.raises(NotImplementedError, match="identity partition"):
+        iceberg_meta.rename_column(tbl, "lang", "language")
+    full, _ = read_table(spark, tbl)
+    iceberg_meta.rewrite_table(
+        full, tbl, partition_by=["bucket(4, lang)"],
+        timestamp_ms=1_700_000_000_001,
+    )
+    iceberg_meta.rename_column(tbl, "lang", "language")
+    got, _ = read_table(spark, tbl, partition_filter={"language": "l2"})
+    rows = got.collect()
+    assert rows and all(r["language"] == "l2" for r in rows)
+    assert "lang" not in got.columns
+
+
+def test_spec_evolution_appends_inherit_new_spec(spark, tmp_path):
+    tbl = str(tmp_path / "specapp")
+    iceberg_meta.write_table(_df(spark, 0, 20), tbl, partition_by=["lang"])
+    full, _ = read_table(spark, tbl)
+    iceberg_meta.rewrite_table(
+        full, tbl, partition_by=["truncate(2, lang)"],
+        timestamp_ms=1_700_000_000_001,
+    )
+    iceberg_meta.write_table(
+        _df(spark, 20, 30), tbl, timestamp_ms=1_700_000_000_002
+    )
+    ent = iceberg_meta.snapshot_entries(tbl)
+    assert all("lang_trunc" in d["partition"] for d in ent["data"])
+    got, _ = read_table(spark, tbl)
+    assert got.count() == 30
+
+
+# --------------------------------------------------------------------------
+# maintenance bounded by garbage: rewrite_manifests + position-delete
+# compaction (round 7, VERDICT r6 task #7)
+# --------------------------------------------------------------------------
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.select(*sorted(df.columns)).collect())
+
+
+def test_rewrite_manifests_merges_and_reads_identical(spark, tmp_path):
+    tbl = str(tmp_path / "rwm")
+    for i in range(6):  # six appends -> six data manifests
+        iceberg_meta.write_table(
+            _df(spark, i * 10, (i + 1) * 10), tbl,
+            timestamp_ms=1_700_000_000_000 + i,
+        )
+    before_rows = _sorted_rows(read_table(spark, tbl)[0])
+    meta = iceberg_meta.current_metadata(tbl)
+    snap = iceberg_meta.resolve_snapshot(meta)
+    from tfidf_spark.sources.avro import read_container
+    _, mfs = read_container(iceberg_meta._strip_file_uri(snap["manifest-list"]))
+    assert len(mfs) == 6
+    res = iceberg_meta.rewrite_manifests(tbl, target_manifests=1)
+    assert res["before"] == 6 and res["after"] == 1
+    meta2 = iceberg_meta.current_metadata(tbl)
+    snap2 = iceberg_meta.resolve_snapshot(meta2)
+    _, mfs2 = read_container(iceberg_meta._strip_file_uri(snap2["manifest-list"]))
+    assert len(mfs2) == 1
+    after_rows = _sorted_rows(read_table(spark, tbl)[0])
+    assert after_rows == before_rows
+    # idempotent no-op when already merged
+    res2 = iceberg_meta.rewrite_manifests(tbl, target_manifests=1)
+    assert res2["after"] == res2["before"] == 1
+    # appends after the merge still work and carry the merged manifest
+    iceberg_meta.write_table(
+        _df(spark, 60, 65), tbl, timestamp_ms=1_700_000_000_010
+    )
+    assert read_table(spark, tbl)[0].count() == 65
+
+
+def test_rewrite_manifests_preserves_delete_scoping_and_schema_eras(spark, tmp_path):
+    """Entries keep original snapshot_id (writer-schema resolution) and
+    explicit sequence numbers (delete scoping) through the merge."""
+    tbl = str(tmp_path / "rwm2")
+    iceberg_meta.write_table(_df(spark, 0, 20), tbl)
+    iceberg_meta.rename_column(tbl, "content", "body")
+    iceberg_meta.write_table(
+        _df(spark, 20, 30).withColumnRenamed("content", "body"), tbl,
+        timestamp_ms=1_700_000_000_001,
+    )
+    # equality delete BETWEEN eras: applies only to files with
+    # data_seq < delete_seq... commit order: era A (seq1), era B (seq2),
+    # delete (seq3) -> applies to both eras here; then era C (seq4)
+    # written AFTER must be exempt
+    iceberg_meta.commit_equality_deletes(
+        tbl, [{"repo": "repo1"}], ["repo"],
+        timestamp_ms=1_700_000_000_002,
+    )
+    iceberg_meta.write_table(
+        _df(spark, 30, 44).withColumnRenamed("content", "body"), tbl,
+        timestamp_ms=1_700_000_000_003,
+    )
+    before = _sorted_rows(read_table(spark, tbl)[0])
+    res = iceberg_meta.rewrite_manifests(tbl)
+    assert res["after"] < res["before"]
+    after = _sorted_rows(read_table(spark, tbl)[0])
+    assert after == before
+    got = read_table(spark, tbl)[0]
+    # era C's repo1 rows survive (seq scoping intact through the merge)
+    assert got.filter((F.col("repo") == "repo1") & (F.col("doc_id") >= 30)).count() > 0
+    assert got.filter((F.col("repo") == "repo1") & (F.col("doc_id") < 30)).count() == 0
+
+
+def test_rewrite_manifests_cdc_window_is_a_noop_not_an_error(spark, tmp_path):
+    tbl = str(tmp_path / "rwm3")
+    iceberg_meta.write_table(_df(spark, 0, 10), tbl)
+    s0 = iceberg_meta.snapshot_entries(tbl)["snapshot_id"]
+    iceberg_meta.rewrite_manifests(tbl, timestamp_ms=1_700_000_000_001)
+    iceberg_meta.write_table(
+        _df(spark, 10, 16), tbl, timestamp_ms=1_700_000_000_002
+    )
+    # the merge snapshot sits in the window but changed no data files:
+    # CDC must see exactly era B as appends instead of refusing
+    app, dels, _ = incremental_changes(spark, tbl, from_snapshot_id=s0)
+    assert sorted(r["doc_id"] for r in app.collect()) == list(range(10, 16))
+    assert dels is None
+
+
+def test_compact_position_deletes_bounded_rewrite(spark, tmp_path):
+    tbl = str(tmp_path / "cpd")
+    # several appends -> many files; delete rows from only a few files
+    for i in range(4):
+        iceberg_meta.write_table(
+            _df(spark, i * 25, (i + 1) * 25), tbl,
+            timestamp_ms=1_700_000_000_000 + i,
+        )
+    before_files = {d["path"] for d in iceberg_meta.snapshot_entries(tbl)["data"]}
+    catalog.delete_where(spark, tbl, F.col("doc_id").isin(3, 7, 98))
+    before = _sorted_rows(read_table(spark, tbl)[0])
+    assert len(before) == 97
+
+    res = iceberg_meta.compact_position_deletes(
+        tbl, spark=spark, timestamp_ms=1_700_000_000_010
+    )
+    assert res["dropped_delete_files"] >= 1
+    ent = iceberg_meta.snapshot_entries(tbl)
+    assert ent["pos_deletes"] == []  # all folded in
+    after_files = {d["path"] for d in ent["data"]}
+    # bounded by garbage: untouched files carried byte-identical
+    assert res["rewritten"] == len(after_files - before_files)
+    assert res["rewritten"] < len(before_files)
+    assert _sorted_rows(read_table(spark, tbl)[0]) == before
+    # no-op on a clean table
+    res2 = iceberg_meta.compact_position_deletes(tbl)
+    assert res2["rewritten"] == 0
+
+
+def test_compact_position_deletes_keeps_eq_delete_scoping(spark, tmp_path):
+    """Rewritten files keep their ORIGINAL sequence numbers, so an
+    equality delete committed later still applies to them, and one
+    committed earlier still doesn't."""
+    tbl = str(tmp_path / "cpd2")
+    iceberg_meta.write_table(_df(spark, 0, 30), tbl)                    # seq 1
+    catalog.delete_where(spark, tbl, F.col("doc_id") == 5)              # seq 2
+    iceberg_meta.commit_equality_deletes(                               # seq 3
+        tbl, [{"repo": "repo2"}], ["repo"], timestamp_ms=1_700_000_000_002
+    )
+    iceberg_meta.write_table(                                           # seq 4
+        _df(spark, 30, 40), tbl, timestamp_ms=1_700_000_000_003
+    )
+    before = _sorted_rows(read_table(spark, tbl)[0])
+    iceberg_meta.compact_position_deletes(
+        tbl, timestamp_ms=1_700_000_000_010
+    )
+    after_df = read_table(spark, tbl)[0]
+    assert _sorted_rows(after_df) == before
+    # era-A repo2 rows stay deleted (rewritten file kept seq 1 < 3);
+    # era-B repo2 rows stay alive (seq 4 > 3)
+    assert after_df.filter((F.col("repo") == "repo2") & (F.col("doc_id") < 30)).count() == 0
+    assert after_df.filter((F.col("repo") == "repo2") & (F.col("doc_id") >= 30)).count() > 0

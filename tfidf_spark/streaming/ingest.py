@@ -70,6 +70,78 @@ def stream_postings(
     )
 
 
+def stream_to_iceberg(
+    corpus_stream: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    base_timestamp_ms: int = 1_700_000_000_000,
+):
+    """Streaming ingest INTO the Iceberg source table (VERDICT r6 task
+    #5): a ``foreachBatch`` sink that writes each micro-batch's rows as
+    parquet in the table's data dir and ``commit_append``s them as one
+    snapshot, with the micro-batch id recorded in the snapshot summary
+    (``streaming-batch-id``).
+
+    Exactly-once across restarts: Spark's foreachBatch contract is
+    at-least-once — after a crash the last batch REPLAYS with the same
+    batch id — so the writer first consults the table's committed batch
+    ids and skips any batch a snapshot already records. Snapshot commits
+    are atomic (version-hint flip), so a crash between the parquet write
+    and the commit leaves only unreferenced staging files, never a
+    half-visible batch; the replay then re-writes and commits cleanly.
+
+    Each committed snapshot is a normal append: ``incremental_changes``
+    between any two streamed snapshot ids yields exactly the batches
+    between them, which feeds ``compact_index`` for O(delta) index
+    maintenance — the streaming leg of the north-rule's
+    pin -> build -> change -> incremental-update loop.
+    """
+    return (
+        corpus_stream.writeStream.foreachBatch(
+            iceberg_batch_committer(table_dir, base_timestamp_ms)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
+def iceberg_batch_committer(
+    table_dir: str, base_timestamp_ms: int = 1_700_000_000_000
+):
+    """The ``foreachBatch`` function behind ``stream_to_iceberg``,
+    exposed so the replay guard is testable: committing a batch id the
+    table already records is a no-op."""
+    from tfidf_spark.sources import iceberg_meta
+
+    def _commit_batch(batch_df, batch_id: int):
+        if iceberg_meta.is_iceberg_table(table_dir):
+            meta = iceberg_meta.current_metadata(table_dir)
+            done = {
+                (s.get("summary") or {}).get("streaming-batch-id")
+                for s in meta.get("snapshots", [])
+            }
+            if str(batch_id) in done:
+                return  # restart replay of an already-committed batch
+        files = iceberg_meta._materialize(batch_df, table_dir, [])
+        files = [
+            f
+            for f in files
+            if iceberg_meta._parquet_row_count(f if isinstance(f, str) else f[0])
+        ]
+        if not files:
+            return
+        iceberg_meta.commit_append(
+            table_dir,
+            files,
+            spark_schema=batch_df.schema,
+            timestamp_ms=base_timestamp_ms + int(batch_id),
+            summary_extra={"streaming-batch-id": str(batch_id)},
+        )
+
+    return _commit_batch
+
+
 def stream_metrics_24h(
     corpus_stream: DataFrame,
     ts_col: str = "ingested_at",
