@@ -1068,3 +1068,24 @@ def test_compact_position_deletes_keeps_eq_delete_scoping(spark, tmp_path):
     # era-B repo2 rows stay alive (seq 4 > 3)
     assert after_df.filter((F.col("repo") == "repo2") & (F.col("doc_id") < 30)).count() == 0
     assert after_df.filter((F.col("repo") == "repo2") & (F.col("doc_id") >= 30)).count() > 0
+
+
+def test_maintenance_then_expire_reclaims_garbage(spark, tmp_path):
+    """compact_position_deletes + rewrite_manifests followed by
+    expire_snapshots: superseded data files, delete parquets and small
+    manifests are physically reclaimed; the live read stays exact."""
+    tbl = str(tmp_path / "gc")
+    for i in range(3):
+        iceberg_meta.write_table(
+            _df(spark, i * 20, (i + 1) * 20), tbl,
+            timestamp_ms=1_700_000_000_000 + i,
+        )
+    catalog.delete_where(spark, tbl, F.col("doc_id").isin(1, 21, 41))
+    before = _sorted_rows(read_table(spark, tbl)[0])
+    iceberg_meta.compact_position_deletes(tbl, timestamp_ms=1_700_000_000_005)
+    iceberg_meta.rewrite_manifests(tbl, timestamp_ms=1_700_000_000_006)
+    res = iceberg_meta.expire_snapshots(tbl, keep_last=1)
+    assert res["removed_files"] > 0
+    assert _sorted_rows(read_table(spark, tbl)[0]) == before
+    ent = iceberg_meta.snapshot_entries(tbl)
+    assert ent["pos_deletes"] == []
