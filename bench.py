@@ -122,6 +122,16 @@ def main():
             bm25_query_terms_local(idx, terms, k)
             lat.append(time.perf_counter() - t0)
         query_p50_ms = round(1000 * statistics.median(lat), 1)
+
+        # serving-tier latency: executor-memory pinned tables + the
+        # coordinator-resident term dictionary (IndexHandle.warm)
+        idx.warm()
+        lat_w = []
+        for qid, terms, k in qset[:8]:
+            t0 = time.perf_counter()
+            bm25_query_terms_local(idx, terms, k)
+            lat_w.append(time.perf_counter() - t0)
+        query_p50_warm_ms = round(1000 * statistics.median(lat_w), 1)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -137,6 +147,7 @@ def main():
                 "corpus_docs": n_corpus,
                 "build_files_per_sec": round(n_corpus / build_sec, 1),
                 "query_p50_ms": query_p50_ms,
+                "query_p50_warm_ms": query_p50_warm_ms,
                 "batch50_results": n_results,
                 "cpus": cpus,
             }

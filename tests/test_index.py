@@ -209,3 +209,51 @@ def test_combine_shuffle_is_byte_identical(spark, tmp_path):
 
     assert blobs(a_dir) == blobs(b_dir)
     assert (ma["n_docs"], ma["avgdl"]) == (mb["n_docs"], mb["avgdl"])
+
+
+def test_warm_serving_path_identical_and_cached(spark, tiny_corpus, tiny_index):
+    """IndexHandle.warm pins term_postings/term_stats in executor memory
+    and loads the coordinator-resident term->df dictionary; every query
+    path must return exactly the cold results, vocabulary misses must
+    short-circuit without touching Spark, and the df-budget delegation
+    must survive warming."""
+    from tfidf_spark.index.query import bm25_query_terms_local
+
+    out, _ = tiny_index
+    idx = load_index(spark, out)
+    cold = {
+        t: bm25_query_terms_local(idx, list(t), k=10)
+        for t in (("a", "c"), ("a", "a", "b"), ("c", "zzz"))
+    }
+    info = idx.warm()
+    assert info["persisted"] == ["term_postings", "term_stats"]
+    assert info["df_dict_terms"] == idx.term_stats.count()
+    assert idx.term_postings.storageLevel.useMemory
+    for t, want in cold.items():
+        got = bm25_query_terms_local(idx, list(t), k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9)
+    # pure vocabulary miss: answered from the dictionary, no jobs
+    assert bm25_query_terms_local(idx, ["zzz", "qqq"], k=5) == []
+    # budget delegation still distributes when warmed
+    fallback = bm25_query_terms_local(idx, ["a", "c"], k=10, df_budget=0)
+    assert [d for d, _ in fallback] == [d for d, _ in cold[("a", "c")]]
+    idx.cool()
+    assert not idx.term_postings.storageLevel.useMemory
+    assert idx._df_dict is None
+
+
+def test_warm_dict_guard_refuses_oversized_vocab(spark, tiny_index):
+    """A vocabulary larger than df_dict_max_terms must leave the
+    dictionary unloaded (driver protected) while persistence and the
+    scan-based precheck keep working."""
+    from tfidf_spark.index.query import bm25_query_terms_local
+
+    out, _ = tiny_index
+    idx = load_index(spark, out)
+    info = idx.warm(df_dict_max_terms=1)
+    assert info["df_dict_terms"] is None
+    res = bm25_query_terms_local(idx, ["a", "c"], k=10)
+    assert res  # scan precheck path, warmed tables
+    idx.cool()

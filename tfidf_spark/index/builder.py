@@ -593,6 +593,7 @@ class IndexHandle:
         self.b = self.manifest["b"]
         self._dfs: dict[str, DataFrame] = {}
         self._n_tombstones: int | None = None
+        self._df_dict: dict[str, int] | None = None
 
     def segment_paths(self, name: str) -> list[str]:
         segs = self.manifest.get("segments")
@@ -706,6 +707,59 @@ class IndexHandle:
     def invalidate_tombstones(self) -> None:
         self._dfs.pop("tombstones", None)
         self._n_tombstones = None
+
+    def warm(self, df_dict_max_terms: int = 1_000_000) -> dict:
+        """Pin the serving tables for low-latency querying.
+
+        Two standard serving-tier moves, both scale-true:
+
+        - ``term_postings`` and ``term_stats`` are persisted in executor
+          memory (MEMORY_AND_DISK — spills, never fails): repeated pruned
+          scans hit Spark's in-memory columnar cache, whose per-batch
+          min/max stats prune on the term-sorted layout, instead of
+          re-reading parquet footers + pages on every query.
+        - the ``term -> df`` dictionary is collected driver-side when the
+          vocabulary fits (``<= df_dict_max_terms`` rows) — the
+          coordinator-resident term dictionary every search tier keeps in
+          RAM (sharded across coordinators at 10^12-file scale; the guard
+          refuses rather than OOMs a driver that was not sized for it).
+          ``bm25_query_terms_local``'s df-budget precheck then runs with
+          no Spark job, removing one of its two scheduler round-trips,
+          and vocabulary misses short-circuit to [] with zero jobs.
+
+        Returns ``{"persisted": [...], "df_dict_terms": n | None}``.
+        Call again after snapshot mutations (the handle's tables are
+        immutable per snapshot, so staleness only enters via a NEW
+        handle — which starts cold)."""
+        from pyspark import StorageLevel
+
+        persisted = []
+        for name in ("term_postings", "term_stats"):
+            df = self._cached(name).persist(StorageLevel.MEMORY_AND_DISK)
+            self._dfs[name] = df
+            df.count()  # materialize now, not on the first query
+            persisted.append(name)
+        self._df_dict = None
+        if df_dict_max_terms > 0:
+            rows = (
+                self.term_stats.select("term", "df")
+                .limit(df_dict_max_terms + 1)
+                .collect()
+            )
+            if len(rows) <= df_dict_max_terms:
+                self._df_dict = {r["term"]: int(r["df"]) for r in rows}
+        return {
+            "persisted": persisted,
+            "df_dict_terms": None if self._df_dict is None else len(self._df_dict),
+        }
+
+    def cool(self) -> None:
+        """Release everything ``warm`` pinned."""
+        for name in ("term_postings", "term_stats"):
+            df = self._dfs.get(name)
+            if df is not None:
+                df.unpersist()
+        self._df_dict = None
 
 
 def load_index(spark: SparkSession, path: str) -> IndexHandle:

@@ -362,12 +362,21 @@ def bm25_query_terms_local(
         return []
     distinct = sorted(set(terms))
     q_cnt = {t: terms.count(t) for t in distinct}
-    total_df = (
-        index.term_stats.filter(F.col("term").isin(distinct))
-        .agg(F.sum("df").alias("s"))
-        .collect()[0]["s"]
-        or 0
-    )
+    df_dict = getattr(index, "_df_dict", None)
+    if df_dict is not None:
+        # warmed handle (IndexHandle.warm): the term dictionary is
+        # coordinator-resident, so the budget precheck costs no Spark job
+        # and vocabulary misses short-circuit with zero jobs
+        total_df = sum(df_dict.get(t, 0) for t in distinct)
+        if total_df == 0:
+            return []
+    else:
+        total_df = (
+            index.term_stats.filter(F.col("term").isin(distinct))
+            .agg(F.sum("df").alias("s"))
+            .collect()[0]["s"]
+            or 0
+        )
     if total_df > df_budget:
         out = bm25_query_terms(index, terms, k=k).collect()
         return [(int(r["doc_id"]), float(r["score"])) for r in out]
