@@ -257,3 +257,30 @@ def test_warm_dict_guard_refuses_oversized_vocab(spark, tiny_index):
     res = bm25_query_terms_local(idx, ["a", "c"], k=10)
     assert res  # scan precheck path, warmed tables
     idx.cool()
+
+
+def test_warm_composes_with_tombstone_deletes(spark, tiny_corpus, tmp_path):
+    """Soft deletes issued on a WARMED handle must be visible on the next
+    query: tombstones are not part of what warm() pins (they anti-filter
+    after the kernel), and the pinned term dictionary keeps the
+    pre-compaction df semantics deletes share with the distributed path
+    (df corrects at compaction, Lucene-style)."""
+    from tfidf_spark.index.incremental import delete_docs
+    from tfidf_spark.index.query import bm25_query_terms_local
+
+    out = str(tmp_path / "idx")
+    build_index(tiny_corpus, out, n_shards=2)
+    idx = load_index(spark, out)
+    idx.warm()
+    before = bm25_query_terms_local(idx, ["a", "c"], k=10)
+    victim = before[0][0]
+    delete_docs(idx, [victim])
+    after = bm25_query_terms_local(idx, ["a", "c"], k=10)
+    assert victim not in [d for d, _ in after]
+    # identical to what a cold handle sees post-delete
+    cold = load_index(spark, out)
+    ref = bm25_query_terms_local(cold, ["a", "c"], k=10)
+    assert [d for d, _ in after] == [d for d, _ in ref]
+    for (_, a), (_, b) in zip(after, ref):
+        assert a == pytest.approx(b, rel=1e-9)
+    idx.cool()
