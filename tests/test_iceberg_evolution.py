@@ -1003,11 +1003,19 @@ def test_rewrite_manifests_preserves_delete_scoping_and_schema_eras(spark, tmp_p
 
 def test_rewrite_manifests_cdc_window_is_a_noop_not_an_error(spark, tmp_path):
     tbl = str(tmp_path / "rwm3")
-    iceberg_meta.write_table(_df(spark, 0, 10), tbl)
-    s0 = iceberg_meta.snapshot_entries(tbl)["snapshot_id"]
-    iceberg_meta.rewrite_manifests(tbl, timestamp_ms=1_700_000_000_001)
+    # TWO appends before the merge: with a single manifest
+    # rewrite_manifests early-returns without committing, and the window
+    # would contain no merge snapshot at all (the r7 form of this test
+    # passed vacuously that way — ADVICE r7 #1)
+    iceberg_meta.write_table(_df(spark, 0, 5), tbl)
     iceberg_meta.write_table(
-        _df(spark, 10, 16), tbl, timestamp_ms=1_700_000_000_002
+        _df(spark, 5, 10), tbl, timestamp_ms=1_700_000_000_001
+    )
+    s0 = iceberg_meta.snapshot_entries(tbl)["snapshot_id"]
+    res = iceberg_meta.rewrite_manifests(tbl, timestamp_ms=1_700_000_000_002)
+    assert res["after"] < res["before"]  # the merge really committed
+    iceberg_meta.write_table(
+        _df(spark, 10, 16), tbl, timestamp_ms=1_700_000_000_003
     )
     # the merge snapshot sits in the window but changed no data files:
     # CDC must see exactly era B as appends instead of refusing
@@ -1089,3 +1097,39 @@ def test_maintenance_then_expire_reclaims_garbage(spark, tmp_path):
     assert _sorted_rows(read_table(spark, tbl)[0]) == before
     ent = iceberg_meta.snapshot_entries(tbl)
     assert ent["pos_deletes"] == []
+
+
+def test_ltz_timestamp_refused_at_write_time(spark, tmp_path):
+    """Spark session-TZ TIMESTAMP columns are refused at commit: the
+    format stores Iceberg 'timestamp' as the TZ-free flavor, and mixing
+    an LTZ writer with the NTZ added-column NULL projection would union
+    mismatched types across writer-schema groups (ADVICE r7 #4)."""
+    df = _ts_df(spark, 8).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(NotImplementedError, match="session-TZ"):
+        iceberg_meta.write_table(df, str(tmp_path / "ltz"))
+    # the NTZ form commits fine
+    tbl = str(tmp_path / "ntz")
+    iceberg_meta.write_table(_ts_df(spark, 8), tbl)
+    assert read_table(spark, tbl)[0].count() == 8
+
+
+def test_rewrite_table_spec_evolution_refuses_session_tz(spark, tmp_path):
+    """partition-spec evolution through rewrite_table carries the same
+    session-TZ guard as table creation (ADVICE r7 #2): days() over a
+    Spark LTZ TIMESTAMP must refuse instead of silently mis-pruning."""
+    tbl = str(tmp_path / "specltz")
+    base = _ts_df(spark, 48)
+    iceberg_meta.write_table(base, tbl)
+    bad = base.withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(NotImplementedError, match="session-TZ"):
+        iceberg_meta.rewrite_table(
+            bad, tbl, partition_by=["days(ts)"],
+            timestamp_ms=1_700_000_000_001,
+        )
+    # NTZ source evolves the spec fine and reads back row-exact
+    iceberg_meta.rewrite_table(
+        base, tbl, partition_by=["days(ts)"],
+        timestamp_ms=1_700_000_000_002,
+    )
+    got, _ = read_table(spark, tbl)
+    assert sorted(r["event_id"] for r in got.collect()) == list(range(48))

@@ -427,3 +427,50 @@ def test_stream_to_iceberg_exactly_once_and_incremental_index(spark, tmp_path):
 
     for terms in (["w0"], ["w1", "w7"], ["w3", "w250"]):
         assert results(merged_dir, terms) == results(rebuild_dir, terms), terms
+
+
+def test_stream_into_partitioned_table_inherits_spec(spark, tmp_path):
+    """Streaming into an identity-partitioned table must materialize
+    each batch under the table's default spec (hive layout + partition
+    tuples), not as flat unpartitioned files next to hive dirs (ADVICE
+    r7 #3) — otherwise partition pruning can't see streamed rows and
+    Spark's basePath discovery breaks over the mixed layout."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tfidf_spark.sources import iceberg_meta
+    from tfidf_spark.sources.catalog import read_table
+    from tfidf_spark.sources.corpus import synth_corpus, with_doc_id
+    from tfidf_spark.streaming.ingest import stream_corpus, stream_to_iceberg
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["repo", "path", "commit", "lang", "content"]
+
+    full = with_doc_id(synth_corpus(spark, 60, partitions=2)).cache()
+    base = full.filter(F.col("doc_id") % 2 == 0)
+    # batch-create the partitioned table, then stream the rest in
+    iceberg_meta.write_table(base.select(*cols), tbl, partition_by=["lang"])
+
+    delta = full.filter(F.col("doc_id") % 2 != 0)
+    delta.select(*cols).repartition(2).write.parquet(src)
+    q = stream_to_iceberg(stream_corpus(spark, src), tbl, ckpt).start()
+    q.awaitTermination(120)
+
+    # every data file sits under a lang=... hive dir and carries a
+    # partition tuple; pruning by lang sees streamed rows too
+    ent = iceberg_meta.snapshot_entries(tbl)
+    assert all(d["partition"].get("lang") is not None for d in ent["data"])
+    flat = [
+        p for p in glob.glob(os.path.join(tbl, "data", "*.parquet"))
+    ]
+    assert flat == []  # no unpartitioned stragglers
+    langs = {r["lang"] for r in full.select("lang").distinct().collect()}
+    one = sorted(langs)[0]
+    got, _ = read_table(spark, tbl, partition_filter={"lang": [one]})
+    want = full.filter(F.col("lang") == one).count()
+    assert got.count() == want
+    full.unpersist()

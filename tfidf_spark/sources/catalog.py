@@ -426,7 +426,12 @@ def incremental_changes(
     except ValueError as e:
         raise ValueError(f"snapshot not in table history: {e}") from None
     for s in snaps[i_from + 1: i_to + 1]:
-        op = (s.get("summary") or {}).get("operation")
+        summary = s.get("summary") or {}
+        op = summary.get("operation")
+        if summary.get("rewrite-manifests") == "true":
+            # manifest merge (rewrite_manifests): metadata-only, the data
+            # file set is unchanged, so the file-level diff is untouched
+            continue
         if op in ("replace", "overwrite"):
             raise NotImplementedError(
                 f"snapshot {s['snapshot-id']} in the CDC window is a "

@@ -1147,6 +1147,21 @@ def _commit(
     list (unless ``carry_prior=False`` — a REPLACE commit), append the
     snapshot to a new metadata.json, bump version-hint. Deterministic:
     ids derive from file lists, the timestamp is a parameter."""
+    if spark_schema is not None:
+        # Iceberg 'timestamp' is stored here as the TZ-free flavor
+        # (catalog._ICEBERG_TO_SPARK casts added-column NULLs to
+        # timestamp_ntz), but _SPARK_TO_ICEBERG also accepts Spark's
+        # session-TZ TIMESTAMP — letting one in would mix NTZ NULL
+        # projections (old files) with LTZ data (new files) across
+        # writer-schema groups (ADVICE r7 #4). Refuse loudly at write
+        # time so the declared flavor invariant holds end to end.
+        for f in spark_schema.fields:
+            if f.dataType.simpleString() == "timestamp":
+                raise NotImplementedError(
+                    f"column {f.name!r} is Spark TIMESTAMP (session-TZ); "
+                    "this table format stores the TZ-free flavor only — "
+                    "cast to timestamp_ntz (or date) before writing"
+                )
     md = _meta_dir(table_dir)
     os.makedirs(md, exist_ok=True)
     if is_iceberg_table(table_dir):
@@ -1699,6 +1714,23 @@ def rewrite_table(
         raise ValueError(f"{table_dir} is not an Iceberg table")
     meta = current_metadata(table_dir)
     if partition_by is not None:
+        # same session-TZ guard as _spec_from_partition_by (ADVICE r7 #2):
+        # _append_partition_spec only sees the ICEBERG type, and
+        # _SPARK_TO_ICEBERG maps both TIMESTAMP (LTZ) and TIMESTAMP_NTZ
+        # to 'timestamp' — the df in hand tells the two apart.
+        from tfidf_spark.sources import iceberg_transforms as T
+
+        df_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for spec_txt in partition_by:
+            col, kind, _ = T.parse_partition_by(spec_txt)
+            if (
+                kind in ("years", "months", "days", "hours")
+                and df_types.get(col) == "timestamp"
+            ):
+                raise NotImplementedError(
+                    f"time transform {kind!r} over TIMESTAMP (session-TZ) "
+                    f"column {col!r}: cast to timestamp_ntz or date first"
+                )
         _append_partition_spec(table_dir, meta, partition_by, timestamp_ms)
         meta = current_metadata(table_dir)
     pfields = partition_fields(meta)

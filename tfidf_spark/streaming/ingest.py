@@ -123,7 +123,18 @@ def iceberg_batch_committer(
             }
             if str(batch_id) in done:
                 return  # restart replay of an already-committed batch
-        files = iceberg_meta._materialize(batch_df, table_dir, [])
+        # resolve the table's default partition spec so streamed files
+        # land in the same hive layout as batch-written ones (ADVICE r7
+        # #3: always-unpartitioned _materialize next to hive-laid-out
+        # files breaks partition pruning and basePath discovery)
+        pfields = (
+            iceberg_meta.partition_fields(
+                iceberg_meta.current_metadata(table_dir)
+            )
+            if iceberg_meta.is_iceberg_table(table_dir)
+            else []
+        )
+        files = iceberg_meta._materialize(batch_df, table_dir, pfields)
         files = [
             f
             for f in files
