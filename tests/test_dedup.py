@@ -269,3 +269,21 @@ def test_star_round_budget_is_forwarded(spark):
         connected_components(edges, algorithm="star", star_max_iter=1)
     got = connected_components(edges, algorithm="star", star_max_iter=32)
     assert got.select("component_id").distinct().count() == 1
+
+
+def test_simhash_docs_identical_to_postings_form(docs):
+    """The r8 zero-shuffle kernel (simhash_docs) must produce EXACTLY the
+    postings-form fingerprints: same md5 semantics, same integer
+    bit-sums, zero-token docs absent from both."""
+    from tfidf_spark.operators.dedup import simhash_docs
+
+    with_empty = docs.union(
+        docs.sparkSession.createDataFrame(
+            [(9, ""), (10, "!!! ...")], "doc_id bigint, content string"
+        )
+    )
+    p = build_postings(with_empty).select("doc_id", "term", "cnt")
+    old = {r["doc_id"]: r["simhash"] for r in simhash(p).collect()}
+    new = {r["doc_id"]: r["simhash"] for r in simhash_docs(with_empty).collect()}
+    assert old == new
+    assert 9 not in new and 10 not in new

@@ -72,25 +72,44 @@ def test_minhash_hashes_each_shingle_once(spark):
     assert plan.count("array_min") == 8
 
 
-def test_simhash_single_shuffle(spark):
-    """SimHash = exactly ONE shuffle of the raw posting rows (repartition
-    by doc_id) into the vectorized Arrow kernel — never the 60x bit-row
-    explode (a Generate over a bit array + a SECOND exchange), and no
-    60-column codegen aggregation either."""
+def test_simhash_zero_shuffle(spark):
+    """SimHash from raw docs (r8, dedup.simhash_docs) = ZERO shuffle:
+    tokenize + count + md5 + bit-sum all in one narrow Arrow kernel —
+    never the 60x bit-row explode, no exchange at all."""
     plan = _plan(spark, "simhash")
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "Generate explode" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_simhash_postings_form_single_shuffle(spark):
+    """The postings-input operator (dedup.simhash) keeps its contract:
+    exactly ONE shuffle of the raw posting rows into the vectorized
+    kernel — the form incremental pipelines use when postings already
+    exist."""
+    from tfidf_spark.operators import dedup
+    from tfidf_spark.operators.postings import build_postings
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    df = dedup.simhash(
+        build_postings(docs, text_col="text").select("doc_id", "term", "cnt")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
-    # the only explode is the tokenizer's map explode upstream of the
-    # shuffle; after the exchange it's sort + MapInPandas, nothing else
     post_shuffle = plan.split("Exchange hashpartitioning(doc_id")[0]
     assert "MapInPandas" in post_shuffle
     assert "Generate explode" not in post_shuffle
     assert "HashAggregate" not in post_shuffle
 
 
-def test_lsh_bucket_cap_reuses_join_exchange(spark):
-    """The max_bucket window partitions on the same keys as the bucket
-    self-join; Catalyst/AQE must not add a third hashpartitioning
-    exchange beyond the two join sides."""
+def test_lsh_single_signature_pass_two_exchanges(spark):
+    """r8 LSH pair generation: ONE signature subtree (one ArrowEvalPython
+    — the r7 self-join re-ran the shingle UDF on both sides), one
+    (band, bucket) exchange for the bucket groupBy, one (a, b) exchange
+    for the band count — no window, no join."""
     plan = _plan(spark, "minhash_lsh_pairs")
-    n_band_bucket_exchanges = plan.count("Exchange hashpartitioning(band")
-    assert n_band_bucket_exchanges <= 2
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("Exchange hashpartitioning(band") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan

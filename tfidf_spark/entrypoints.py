@@ -109,11 +109,19 @@ def q_tfidf_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     n = docs.count()
     postings = with_tf(_doc_postings(spark, sf_dir))
-    stats = score_tfidf(postings, term_df(postings), n)
-    sel = stats.select(
+    # df as a count window over term instead of score_tfidf's
+    # groupBy+join: the join's two branches each re-ran the tokenize UDF
+    # (two ArrowEvalPython subtrees — r8 plan audit), so the corpus was
+    # tokenized twice per call. The window computes the identical df
+    # (posting rows per term; (doc_id, term) unique) over ONE tokenize
+    # pass; the idf expression is unchanged so the doubles are
+    # bit-identical. Guide §2.4 (shared subtree = hidden second pass).
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(F.lit(n).cast("double") / F.coalesce(dfc, F.lit(1)).cast("double"))
+    sel = postings.select(
         "doc_id", "term",
-        F.col("frequency").cast("long").alias("frequency"),
-        F.round("tfidf", 6).alias("tfidf_r"),
+        F.col("cnt").cast("long").alias("frequency"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf_r"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
     return (
@@ -137,14 +145,37 @@ def q_collection_stats(spark, sf_dir):
 
 
 def q_bm25_topk(spark, sf_dir):
+    from tfidf_spark.operators.postings import with_term_counts
+
     docs = _t(spark, sf_dir, "documents")
+    # ONE stats pass (r8): N, Σdl AND the flagship terms' df come from a
+    # single aggregation over the tokenize kernel's term_counts map —
+    # df(t) = #docs whose map contains t = count of non-null getItem(t).
+    # The r7 shape tokenized the corpus THREE times per call (doc_stats
+    # pass for n/avgdl + postings and term_df subtrees in the score job,
+    # each its own ArrowEvalPython — r8 plan audit); this is two.
+    counted = with_term_counts(docs, text_col="text")
+    st = counted.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+        *[
+            F.count(F.col("term_counts").getItem(t)).alias(f"df_{i}")
+            for i, t in enumerate(FLAGSHIP_TERMS)
+        ],
+    ).collect()[0]
+    n = int(st["n_docs"])
+    # same double as corpus_stats' F.avg(dl): long sum cast to double / n
+    avgdl = float(st["dl_sum"] or 0) / n if n else 0.0
+    # df-default-1 on miss via NULL -> idf_expr's coalesce (identical
+    # expression to the r7 join output, so the doubles are bit-identical)
+    q_idf = spark.createDataFrame(
+        [
+            (t, int(st[f"df_{i}"]) if int(st[f"df_{i}"]) > 0 else None)
+            for i, t in enumerate(FLAGSHIP_TERMS)
+        ],
+        "term string, df long",
+    ).select("term", idf_expr(n).alias("idf"))
     postings = _doc_postings(spark, sf_dir)
-    cs = corpus_stats(doc_stats(docs, text_col="text")).collect()[0]
-    n, avgdl = int(cs["n_docs"]), float(cs["avgdl"])
-    qt = spark.createDataFrame([(t,) for t in FLAGSHIP_TERMS], "term string")
-    q_idf = qt.join(term_df(postings), "term", "left").select(
-        "term", idf_expr(n).alias("idf")
-    )
     scored = postings.join(F.broadcast(q_idf), "term", "inner")
     score = F.sum(F.col("idf") * bm25_weight_expr("cnt", "dl", avgdl))
     agg = scored.groupBy("doc_id").agg(F.round(score, 6).alias("score_r"))
@@ -196,8 +227,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 def q_simhash(spark, sf_dir):
     """60-bit SimHash per doc from term-count-weighted md5 term hashes —
-    portable across engines (md5 + hex->int)."""
-    return dedup.simhash(_doc_postings(spark, sf_dir).select("doc_id", "term", "cnt"))
+    portable across engines (md5 + hex->int). r8: computed in ONE narrow
+    kernel from the raw docs (dedup.simhash_docs) — the postings form
+    paid a full repartition("doc_id") shuffle just to re-group rows the
+    tokenizer already had grouped; output pinned identical in
+    test_dedup."""
+    return dedup.simhash_docs(_t(spark, sf_dir, "documents"), text_col="text")
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -312,13 +347,15 @@ def q_tfidf_scoped(spark, sf_dir):
     per doc for one scope ('en' analog: lang='en')."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     n = docs.count()
-    postings = build_postings(docs, text_col="text")
-    scoped_df = term_df(postings)
-    stats = score_tfidf(with_tf(postings), scoped_df, n)
-    sel = stats.select(
+    postings = with_tf(build_postings(docs, text_col="text"))
+    # window df over the scoped postings — one tokenize pass instead of
+    # the groupBy+join's two (see q_tfidf_topk)
+    dfc = F.count(F.lit(1)).over(Window.partitionBy("term"))
+    idf = F.log(F.lit(n).cast("double") / F.coalesce(dfc, F.lit(1)).cast("double"))
+    sel = postings.select(
         "doc_id", "term",
-        F.col("frequency").cast("long").alias("frequency"),
-        F.round("tfidf", 6).alias("tfidf_r"),
+        F.col("cnt").cast("long").alias("frequency"),
+        F.round(F.col("tf") * idf, 6).alias("tfidf_r"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_r"), F.asc("term"))
     return sel.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5).drop("rn")
@@ -491,8 +528,13 @@ def q_events_sliding_24h(spark, sf_dir):
 
 def q_simhash_near_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming <= 20) via the banded bucket join —
-    never a cross join (pigeonhole over 21 chunks covering the 60 bits)."""
-    sim = dedup.simhash(_doc_postings(spark, sf_dir).select("doc_id", "term", "cnt"))
+    never a cross join (pigeonhole over 21 chunks covering the 60 bits).
+    r8: fingerprints come from the zero-shuffle kernel and are
+    localCheckpointed so the self-join's two branches don't each re-run
+    tokenize+hash over the corpus (sim is O(n_docs) rows of 16 B)."""
+    sim = dedup.simhash_docs(
+        _t(spark, sf_dir, "documents"), text_col="text"
+    ).localCheckpoint(eager=True)
     return dedup.simhash_near_pairs(sim, max_hamming=20)
 
 

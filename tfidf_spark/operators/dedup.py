@@ -99,13 +99,23 @@ def lsh_candidate_pairs(
     n^2. band_size=1 maximizes recall; raise it to tighten precision.
 
     ``max_bucket`` is the skew guard for 100 TB corpora: one degenerate
-    bucket (empty files, license boilerplate) makes the self-join
+    bucket (empty files, license boilerplate) makes pair generation
     quadratic IN THAT BUCKET. Buckets with more than ``max_bucket``
     members are dropped whole — by definition they hold near-identical
     boilerplate a dedup pipeline handles via exact dedup first; use
-    ``lsh_bucket_stats`` to see what was skipped. The bucket-size window
-    repartitions on the same (band, bucket) keys as the join, so AQE
-    reuses the exchange — no extra shuffle."""
+    ``lsh_bucket_stats`` to see what was skipped.
+
+    Shape (r8): ONE groupBy(band, bucket) collects each bucket's member
+    ids sorted, then a JVM higher-order expression emits the a<b pairs
+    per bucket, and a final groupBy(a, b) counts colliding bands. The r7
+    self-join recomputed the signature subtree — shingle UDF included —
+    on BOTH sides (two ArrowEvalPython nodes, r8 plan audit) and needed
+    a bucket-size window on top; this is one signature pass, two
+    shuffles, no window. The cap bounds per-bucket work at
+    max_bucket^2/2 pairs exactly as before; a degenerate bucket's
+    member array is collected before being dropped (fine up to ~10^8
+    members — beyond that, pre-drop hot buckets via ``lsh_bucket_stats``
+    + an anti-join before calling this)."""
     banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
     if band_size > 1:
         # sort by seed before concat: collect_list order is nondeterministic
@@ -122,20 +132,33 @@ def lsh_candidate_pairs(
         )
     else:
         keys = banded.select("doc_id", "band", F.col("minhash").alias("bucket"))
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "bucket")
-        keys = keys.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
-            F.col("bsz") <= max_bucket
-        ).drop("bsz")
-    a, b = keys.alias("a"), keys.alias("b")
+    grouped = keys.groupBy("band", "bucket").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    cap = F.lit(max_bucket) if max_bucket is not None else F.size("ids")
+    grouped = grouped.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= cap)
+    )
+    # all a<b pairs of the sorted member array: for each position i, pair
+    # ids[i] with every later element (slice is 1-indexed)
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + F.lit(2), F.size("ids") - i - 1
+                        ),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
     )
 
@@ -295,6 +318,94 @@ def simhash(postings: DataFrame, bits: int = 60) -> DataFrame:
             yield flush(*pend)
 
     return rows.mapInPandas(kernel, "doc_id long, simhash long")
+
+
+def simhash_docs(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    bits: int = 60,
+    code_aware: bool = False,
+) -> DataFrame:
+    """(doc_id, simhash) straight from the documents — ZERO shuffle.
+
+    A document's SimHash depends only on its own (term, cnt) pairs, so
+    tokenize + count + md5 + bit-sum all run in ONE narrow Arrow kernel
+    per doc batch. The postings-input form (``simhash``) pays a full
+    repartition("doc_id") of the exploded posting rows just to
+    re-group what the tokenizer already had grouped; this form is the
+    r8 replacement for that plan when the caller starts from raw docs
+    (identical output — pinned against ``simhash`` in test_dedup).
+    md5 semantics match the JVM expression exactly:
+    ``int(md5(term)[:15 hex], 16)`` == conv(substring(md5(term),1,15),
+    16,10) — 60 bits, positive, exact integer math throughout."""
+    import hashlib
+
+    from tfidf_spark.functions.tokenize import _tokenize_series
+
+    sel = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+
+    def kernel(batches):
+        from collections import Counter
+
+        import numpy as np
+        import pandas as pd
+
+        out_shifts = np.arange(bits, dtype=np.int64)
+        md5_cache: dict[str, int] = {}
+        slice_rows = 16384  # same cache-residency cap as `simhash`
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = _tokenize_series(pdf["_t"], code_aware)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            counters = [Counter(ts) for ts in toks]
+            lens = np.array([len(c) for c in counters], dtype=np.int64)
+            keep = np.flatnonzero(lens)  # zero-token docs emit no row
+            if not keep.size:
+                continue
+            terms_flat = np.array(
+                [t for i in keep for t in counters[i]], dtype=object
+            )
+            cnts = np.fromiter(
+                (v for i in keep for v in counters[i].values()),
+                dtype=np.int32,
+                count=int(lens[keep].sum()),
+            )
+            codes, uniques = pd.factorize(terms_flat, sort=False)
+            uh = np.empty(len(uniques), dtype=np.int64)
+            for j, u in enumerate(uniques):
+                v = md5_cache.get(u)
+                if v is None:
+                    v = int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+                    md5_cache[u] = v
+                uh[j] = v
+            hs = uh[codes]
+            starts = np.zeros(keep.size, dtype=np.int64)
+            np.cumsum(lens[keep][:-1], out=starts[1:])
+            byte_view = hs.astype("<u8").view(np.uint8).reshape(-1, 8)
+            sims = np.empty(keep.size, dtype=np.int64)
+            g = 0
+            while g < starts.size:
+                g_end = int(
+                    np.searchsorted(starts, starts[g] + slice_rows, side="left")
+                )
+                g_end = max(g + 1, min(g_end, starts.size))
+                r0 = starts[g]
+                r1 = starts[g_end] if g_end < starts.size else hs.size
+                bitm = np.unpackbits(
+                    byte_view[r0:r1], axis=1, bitorder="little"
+                )[:, :bits].astype(np.int32)
+                contrib = (2 * bitm - 1) * cnts[r0:r1, None]
+                sums = np.add.reduceat(contrib, starts[g:g_end] - r0, axis=0)
+                sims[g:g_end] = (
+                    (sums > 0).astype(np.int64) << out_shifts
+                ).sum(axis=1)
+                g = g_end
+            yield pd.DataFrame({"doc_id": doc_ids[keep], "simhash": sims})
+
+    return sel.mapInPandas(kernel, "doc_id long, simhash long")
 
 
 def simhash_near_pairs(

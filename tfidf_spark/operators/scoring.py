@@ -231,13 +231,15 @@ def collection_statistics(
         F.sum("cnt").alias("frequency"),
         F.count(F.lit(1)).alias("df"),
     )
-    totals = per_scope_term.groupBy(scope_col).agg(
-        F.sum("frequency").alias("scope_total")
-    )
-    joined = (
-        per_scope_term.join(F.broadcast(totals), scope_col)
-        .join(F.broadcast(n_docs_per_scope), scope_col)
-    )
+    # scope totals as a sum window over the grouped rows instead of a
+    # groupBy+join back: the join's branches each re-ran the whole
+    # postings subtree (tokenize UDF included) — r8 plan audit found two
+    # ArrowEvalPython nodes per call. The window computes the identical
+    # Σ frequency per scope over ONE pass; the rank window below
+    # partitions by the same key, so the exchange is shared.
+    joined = per_scope_term.withColumn(
+        "scope_total", F.sum("frequency").over(Window.partitionBy(scope_col))
+    ).join(F.broadcast(n_docs_per_scope), scope_col)
     tf = F.col("frequency").cast("double") / F.col("scope_total")
     idf = F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
     enriched = joined.select(
