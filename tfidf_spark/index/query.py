@@ -237,6 +237,39 @@ def _topk_shard(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _topk_shard_stream(batches):
+    """mapInPandas kernel over rows hash-partitioned by (query_id,
+    shard) and sorted so each group's rows are adjacent: slice group
+    boundaries per Arrow batch (carrying a possibly-continuing tail) and
+    run the MaxScore kernel per slice. Replaces groupBy().applyInPandas,
+    whose ~2 ms per-group Arrow round-trip dominated the batch path at
+    queries x shards groups (r8 profile: ~1.4 s of the 2.2 s batch50
+    main job)."""
+    pend: pd.DataFrame | None = None
+    for pdf in batches:
+        if pend is not None:
+            pdf = pd.concat([pend, pdf], ignore_index=True)
+            pend = None
+        if not len(pdf):
+            continue
+        q = pdf["query_id"].to_numpy()
+        s = pdf["shard"].to_numpy()
+        change = np.empty(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = (q[1:] != q[:-1]) | (s[1:] != s[:-1])
+        starts = np.flatnonzero(change)
+        if len(starts) == 1:
+            pend = pdf
+            continue
+        tail = int(starts[-1])
+        pend = pdf.iloc[tail:].reset_index(drop=True)
+        bounds = np.append(starts[:-1], tail)
+        for i in range(len(bounds) - 1):
+            yield _topk_shard(pdf.iloc[bounds[i] : bounds[i + 1]])
+    if pend is not None and len(pend):
+        yield _topk_shard(pend)
+
+
 def bm25_query_index(
     index: IndexHandle,
     queries: DataFrame,
@@ -256,11 +289,32 @@ def bm25_query_index(
     batches set False to use a shuffle join instead.
     """
     spark = queries.sparkSession
-    qterms = (
-        queries.select("query_id", "k", F.explode("terms").alias("term"))
-        .groupBy("query_id", "k", "term")
-        .agg(F.count(F.lit(1)).alias("q_cnt"))
-    )
+    # prune_by_collect=True already commits to collecting the batch's
+    # distinct terms driver-side, so the batch is driver-manageable by
+    # contract — collect the query ROWS instead (one plain scan job, no
+    # shuffle) and build qterms as a literal local relation. The r7
+    # shape paid an explode+groupBy+distinct+collect job AND repeated
+    # the explode+groupBy shuffle inside the main job (r8 profile:
+    # ~0.4 s of the 2.5 s batch50 path). Distributed batches
+    # (prune_by_collect=False) keep the general plan.
+    local_qterms: list[tuple[int, int, str, int]] | None = None
+    if prune_by_collect and known_terms is None:
+        from collections import Counter
+
+        local_qterms = [
+            (int(r["query_id"]), int(r["k"]), t, int(c))
+            for r in queries.collect()
+            for t, c in Counter(r["terms"] or []).items()
+        ]
+        qterms = spark.createDataFrame(
+            local_qterms, "query_id long, k int, term string, q_cnt long"
+        )
+    else:
+        qterms = (
+            queries.select("query_id", "k", F.explode("terms").alias("term"))
+            .groupBy("query_id", "k", "term")
+            .agg(F.count(F.lit(1)).alias("q_cnt"))
+        )
     # Tombstoned docs are filtered AFTER the kernel; each per-shard top-k
     # over-fetches by the UNAPPLIED tombstone count so the final top-k
     # never under-fills (tombstones already physically applied by
@@ -275,11 +329,12 @@ def bm25_query_index(
     tp = index.term_postings
     ts = index.term_stats
     if prune_by_collect:
-        terms = (
-            sorted(set(known_terms))
-            if known_terms is not None
-            else [r["term"] for r in qterms.select("term").distinct().collect()]
-        )
+        if known_terms is not None:
+            terms = sorted(set(known_terms))
+        elif local_qterms is not None:
+            terms = sorted({t for _, _, t, _ in local_qterms})
+        else:
+            terms = [r["term"] for r in qterms.select("term").distinct().collect()]
         if not terms:
             return spark.createDataFrame(
                 [], "query_id long, doc_id long, score double, rank int"
@@ -302,8 +357,10 @@ def bm25_query_index(
         "query_id", "k", "term", "mult", "shard",
         "postings", "weights", "block_last", "block_max", "block_off",
     )
-    per_shard = rows.groupBy("query_id", "shard").applyInPandas(
-        _topk_shard, _KERNEL_SCHEMA
+    per_shard = (
+        rows.repartition("query_id", "shard")
+        .sortWithinPartitions("query_id", "shard", "term")
+        .mapInPandas(_topk_shard_stream, _KERNEL_SCHEMA)
     )
     if n_ts:
         per_shard = per_shard.join(
