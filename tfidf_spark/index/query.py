@@ -298,7 +298,7 @@ def bm25_query_index(
     # ~0.4 s of the 2.5 s batch50 path). Distributed batches
     # (prune_by_collect=False) keep the general plan.
     local_qterms: list[tuple[int, int, str, int]] | None = None
-    if prune_by_collect and known_terms is None:
+    if prune_by_collect:
         from collections import Counter
 
         local_qterms = [
