@@ -33,7 +33,6 @@ from tfidf_spark.operators import (
 )
 from tfidf_spark.operators.postings import (
     build_postings,
-    corpus_stats,
     doc_stats,
     term_df,
     with_tf,
@@ -43,7 +42,6 @@ from tfidf_spark.operators.scoring import (
     collection_scoped_tfidf,
     collection_statistics,
     idf_expr,
-    score_tfidf,
 )
 
 FLAGSHIP_TERMS = ["spark", "join", "filter", "query"]
