@@ -1214,20 +1214,24 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "chargram_fingerprint": q_chargram_fingerprint,
     "huffman_transfer": q_huffman_transfer,
-    "knn_top1": q_knn_top1,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_stats": q_embedding_stats,
     "token_quality": q_token_quality,
-    "token_count": q_token_count,
     "lang_id": q_lang_id,
     "tfidf_scoped": q_tfidf_scoped,
     "tfidf_collection_scoped": q_tfidf_collection_scoped,
     "customers_with_orders": q_customers_with_orders,
     "metrics_full": q_metrics_full,
-    "events_json": q_events_json,
-    "union_dedup": q_union_dedup,
-    "scan_filter_project": q_scan_filter_project,
-    "pagination": q_pagination,
+    # rotated BACK in r8 (ungated exactly one round, r7; green r1-r6 and
+    # in every r7/r8 tests/test_gate_rotation.py run). dup_components*
+    # additionally CHANGED in r8 (lsh_candidate_pairs rewrite) so the
+    # gate must observe them.
+    "iceberg_bucket_prune": q_iceberg_bucket_prune,
+    "iceberg_cdc": q_iceberg_cdc,
+    "iceberg_cdc_eq": q_iceberg_cdc_eq,
+    "raw_formats_roundtrip": q_raw_formats_roundtrip,
+    "events_hypertable_daily": q_events_hypertable_daily,
+    "dup_components": q_dup_components,
+    "dup_components_star": q_dup_components_star,
 
     "events_sliding_24h": q_events_sliding_24h,
     "events_sessions": q_events_sessions,
@@ -1257,19 +1261,20 @@ QUERIES = {
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "nation_revenue": q_nation_revenue,
     "orders_running_total": q_orders_running_total,
-    # ---- ROTATION TAIL (r7): every entry below was GATED GREEN in r6
-    # (CORRECTNESS_r06.json) so one ungated round is within the "never
-    # ungated two consecutive rounds" contract; all of them run against
-    # their DuckDB oracles locally each round via
-    # tests/test_gate_rotation.py. See COVERAGE.md "Driver-gate
-    # rotation (round 7)".
-    "iceberg_bucket_prune": q_iceberg_bucket_prune,
-    "iceberg_cdc": q_iceberg_cdc,
-    "iceberg_cdc_eq": q_iceberg_cdc_eq,
-    "raw_formats_roundtrip": q_raw_formats_roundtrip,
-    "events_hypertable_daily": q_events_hypertable_daily,
-    "dup_components": q_dup_components,
-    "dup_components_star": q_dup_components_star,
+    # ---- ROTATION TAIL (r8): every entry below was GATED GREEN in r7
+    # (CORRECTNESS_r07.json), has been green every round since r1/r2,
+    # has NEVER been rotated out before, and is UNCHANGED this round —
+    # so one ungated round is within the "never ungated two consecutive
+    # rounds" contract; all of them run against their DuckDB oracles
+    # locally each round via tests/test_gate_rotation.py. See
+    # COVERAGE.md "Driver-gate rotation (round 8)".
+    "knn_top1": q_knn_top1,
+    "embedding_stats": q_embedding_stats,
+    "token_count": q_token_count,
+    "events_json": q_events_json,
+    "union_dedup": q_union_dedup,
+    "scan_filter_project": q_scan_filter_project,
+    "pagination": q_pagination,
 }
 
 # Shared DuckDB CTE prelude for token-level oracles. The simple char-class
