@@ -287,3 +287,27 @@ def test_simhash_docs_identical_to_postings_form(docs):
     new = {r["doc_id"]: r["simhash"] for r in simhash_docs(with_empty).collect()}
     assert old == new
     assert 9 not in new and 10 not in new
+
+
+def test_minhash_signatures_docs_identical_to_operator_form(docs):
+    """The r8 one-kernel signature path must reproduce the
+    doc_shingle_arrays -> minhash_signatures pipeline exactly (same md5
+    hash family, same xor-min), including docs with < n tokens emitting
+    nothing."""
+    from tfidf_spark.operators.dedup import minhash_signatures_docs
+
+    with_tiny = docs.union(
+        docs.sparkSession.createDataFrame(
+            [(11, "one two"), (12, "")], "doc_id bigint, content string"
+        )
+    )
+    old = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in minhash_signatures(doc_shingle_arrays(with_tiny, n=3)).collect()
+    }
+    new = {
+        (r["doc_id"], r["seed"]): r["minhash"]
+        for r in minhash_signatures_docs(with_tiny, n=3).collect()
+    }
+    assert old == new
+    assert not any(d in (11, 12) for d, _ in new)

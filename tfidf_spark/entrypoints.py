@@ -205,9 +205,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 def q_minhash_signature(spark, sf_dir):
     """(doc_id, seed, minhash) — md5-based portable MinHash (see
     functions/hashing.py for why md5 hex ordering is a valid hash order).
-    Computed zero-shuffle from the un-exploded shingle arrays."""
-    return dedup.minhash_signatures(
-        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    r8: tokenize+shingle+md5+xor-min in ONE narrow kernel
+    (dedup.minhash_signatures_docs) — zero shuffle, and the shingle
+    strings never cross the Python->JVM boundary; pinned identical to
+    the operator pipeline in test_dedup."""
+    return dedup.minhash_signatures_docs(
+        _t(spark, sf_dir, "documents"), n=3, text_col="text"
     )
 
 
@@ -217,8 +220,8 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     shared buckets. max_bucket=100 is the hot-bucket guard (mirrored in
     the oracle SQL); no sf0.01 bucket comes close, so it also documents
     that nothing was dropped here."""
-    sig = dedup.minhash_signatures(
-        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    sig = dedup.minhash_signatures_docs(
+        _t(spark, sf_dir, "documents"), n=3, text_col="text"
     )
     return dedup.lsh_candidate_pairs(sig, band_size=1, max_bucket=100)
 
@@ -758,8 +761,8 @@ def q_dup_components(spark, sf_dir):
     pairs (iterative min-label propagation, dedup.connected_components).
     The oracle computes the same closure with a recursive CTE — an
     iterative DataFrame algorithm that is still exactly hash-gated."""
-    sig = dedup.minhash_signatures(
-        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    sig = dedup.minhash_signatures_docs(
+        _t(spark, sf_dir, "documents"), n=3, text_col="text"
     )
     pairs = dedup.lsh_candidate_pairs(sig, band_size=1, max_bucket=100)
     return dedup.connected_components(pairs.select("a", "b"))
@@ -771,8 +774,8 @@ def q_dup_components_star(spark, sf_dir):
     Kiveris et al. SoCC'14) — label-identical to min-label propagation by
     construction, so it shares the recursive-CTE oracle. Gating both
     algorithms pins the equivalence in the driver, not just in pytest."""
-    sig = dedup.minhash_signatures(
-        dedup.doc_shingle_arrays(_t(spark, sf_dir, "documents"), n=3, text_col="text")
+    sig = dedup.minhash_signatures_docs(
+        _t(spark, sf_dir, "documents"), n=3, text_col="text"
     )
     pairs = dedup.lsh_candidate_pairs(sig, band_size=1, max_bucket=100)
     return dedup.connected_components_star(pairs.select("a", "b"))

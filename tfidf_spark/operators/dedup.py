@@ -20,6 +20,8 @@ every operator here is DuckDB-oracle-checkable.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -89,6 +91,78 @@ def minhash_signatures(shingle_arrays: DataFrame, n_seeds: int = 8) -> DataFrame
     ).select(
         "doc_id", F.col("seed").cast("int").alias("seed"), "minhash"
     ).filter(F.col("minhash").isNotNull())
+
+
+def minhash_signatures_docs(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    n_seeds: int = 8,
+    code_aware: bool = False,
+) -> DataFrame:
+    """(doc_id, seed, minhash) straight from the documents in ONE narrow
+    kernel — tokenize, shingle, md5, xor-min all per batch, no Arrow
+    transfer of the shingle strings back to the JVM and no second UDF
+    subtree (r8; the ``doc_shingle_arrays`` -> ``minhash_signatures``
+    pipeline shipped every distinct shingle string across the Python
+    boundary just to md5 it JVM-side). Hash semantics identical to
+    ``shingle_hash_expr``/``portable_min_hash_expr``:
+    ``int(md5(s)[:15 hex], 16)`` xor the md5-derived seed constants,
+    min per doc — pinned against the operator form in test_dedup.
+    Docs with < n tokens emit no rows (same as the exploded form)."""
+    import hashlib
+
+    from tfidf_spark.functions.hashing import seed_xor_constant
+    from tfidf_spark.functions.tokenize import _tokenize_series
+
+    ks = np.array([seed_xor_constant(s) for s in range(n_seeds)], dtype=np.int64)
+    sel = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            toks = _tokenize_series(pdf["_t"], code_aware)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            sh_lists = [
+                list(dict.fromkeys(
+                    " ".join(ts[i : i + n]) for i in range(len(ts) - n + 1)
+                ))
+                if len(ts) >= n
+                else []
+                for ts in toks
+            ]
+            lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
+            keep = np.flatnonzero(lens)
+            if not keep.size:
+                continue
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                    for i in keep
+                    for s in sh_lists[i]
+                ),
+                dtype=np.int64,
+                count=int(lens[keep].sum()),
+            )
+            starts = np.zeros(keep.size, dtype=np.int64)
+            np.cumsum(lens[keep][:-1], out=starts[1:])
+            # (seeds x shingles) xor, per-doc segment minima
+            mins = np.empty((n_seeds, keep.size), dtype=np.int64)
+            for s in range(n_seeds):
+                mins[s] = np.minimum.reduceat(hs ^ ks[s], starts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(doc_ids[keep], n_seeds),
+                    "seed": np.tile(
+                        np.arange(n_seeds, dtype=np.int32), keep.size
+                    ),
+                    "minhash": mins.T.ravel(),
+                }
+            )
+
+    return sel.mapInPandas(kernel, "doc_id long, seed int, minhash long")
 
 
 def lsh_candidate_pairs(
