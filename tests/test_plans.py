@@ -54,20 +54,28 @@ def test_bm25_query_side_broadcasts(spark):
 
 
 def test_minhash_signatures_zero_shuffle(spark):
-    """The array-form MinHash must stay shuffle-free: no Exchange, no
-    Aggregate — it's a projection over the tokenizer UDF."""
+    """MinHash signatures (r8: one narrow kernel from the docs) must
+    stay shuffle-free: no Exchange, one MapInPandas, no second UDF
+    subtree."""
     plan = _plan(spark, "minhash_signature")
     assert "Exchange" not in plan
-    assert plan.count("ArrowEvalPython") == 1  # one tokenize/shingle pass
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 0
 
 
-def test_minhash_hashes_each_shingle_once(spark):
-    """Hash-once contract: the md5 transform over the shingle array must
-    appear ONCE in the plan, with the 8 seed permutations as integer
-    xors over the shared array — CollapseProject must not inline the
-    non-cheap hs projection into every seed expression (that would put
-    8 md5 passes back on every shingle)."""
-    plan = _plan(spark, "minhash_signature")
+def test_minhash_operator_form_hashes_each_shingle_once(spark):
+    """Hash-once contract of the OPERATOR pipeline (still used by
+    shingle-table callers): the md5 transform over the shingle array
+    must appear ONCE in the plan, with the 8 seed permutations as
+    integer xors over the shared array — CollapseProject must not
+    inline the non-cheap hs projection into every seed expression (that
+    would put 8 md5 passes back on every shingle)."""
+    from tfidf_spark.operators.dedup import doc_shingle_arrays, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = minhash_signatures(doc_shingle_arrays(docs, n=3, text_col="text"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
     assert plan.count("md5") == 1
     assert plan.count("array_min") == 8
 
@@ -104,12 +112,13 @@ def test_simhash_postings_form_single_shuffle(spark):
 
 
 def test_lsh_single_signature_pass_two_exchanges(spark):
-    """r8 LSH pair generation: ONE signature subtree (one ArrowEvalPython
-    — the r7 self-join re-ran the shingle UDF on both sides), one
-    (band, bucket) exchange for the bucket groupBy, one (a, b) exchange
-    for the band count — no window, no join."""
+    """r8 LSH pair generation: ONE signature subtree (a single narrow
+    MapInPandas kernel — the r7 self-join re-ran the shingle UDF on both
+    sides), one (band, bucket) exchange for the bucket groupBy, one
+    (a, b) exchange for the band count — no window, no join."""
     plan = _plan(spark, "minhash_lsh_pairs")
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 0
     assert plan.count("Exchange hashpartitioning(band") == 1
     assert "Window" not in plan
     assert "Join" not in plan
